@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test substrate; the configuration is written for a
+multi-executor cluster: AQE on (runtime coalesce + skew-join split),
+Arrow for every pandas-UDF boundary, UTC session timezone so results
+are comparable against UTC-naive oracles (DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "elasticsearch_approx_plugin_spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``) so the same entry points drive the two-parallelism
+    scaling benchmark (BASELINE.md: N vs 4N cores).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
