@@ -1,0 +1,121 @@
+"""Index build + BM25 top-k vs an exact DuckDB oracle, plus the
+determinism-across-parallelism property the north rule requires."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
+from elasticsearch_approx_plugin_spark.operators.postings import (
+    build_index,
+    read_index,
+    write_index,
+)
+
+QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["table"]),
+    (2, ["scan", "merge", "sort"]),
+    (3, ["window", "stream", "spark", "batch"]),
+]
+K = 10
+
+ORACLE_BM25 = """
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM read_parquet('{path}') , unnest(string_split_regex(text, '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {qvalues}) AS q(query_id, term)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def _oracle(sf_dir, queries, k):
+    qvalues = ", ".join(f"({qid}, '{t}')" for qid, ts in queries for t in set(ts))
+    sql = ORACLE_BM25.format(path=f"{sf_dir}/documents.parquet", qvalues=qvalues, k=k)
+    return duckdb.sql(sql).fetchall()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokenize_ws("text").alias("tokens"))
+    )
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    # range_bits=6 → 64-doc ranges: exercises multi-range salting at 500 docs
+    return build_index(docs, range_bits=6)
+
+
+def test_dictionary_matches_oracle(index, sf_dir):
+    got = {r["term"]: (r["df"], r["cf"]) for r in index.dictionary.collect()}
+    exp = duckdb.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, t.term
+          FROM read_parquet('{sf_dir}/documents.parquet'),
+               unnest(string_split_regex(text, '\\s+')) AS t(term)
+          WHERE t.term <> ''
+        )
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY 1
+        """
+    ).fetchall()
+    assert got == {t: (df, cf) for t, df, cf in exp}
+
+
+def test_bm25_matches_oracle(index, sf_dir):
+    got = [
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in score_queries(index, QUERIES, K)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    exp = _oracle(sf_dir, QUERIES, K)
+    assert got == exp
+
+
+def test_rank_identical_across_parallelism(docs, index):
+    """North rule: same docIDs + scores regardless of partitioning
+    (sandbox stand-in for N vs 4N executors)."""
+    reparted = build_index(docs.repartition(13), range_bits=6)
+    a = score_queries(index, QUERIES, K).orderBy("query_id", "rank").collect()
+    b = score_queries(reparted, QUERIES, K).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_write_read_resume(index, spark, tmp_path):
+    path = str(tmp_path / "idx")
+    m1 = write_index(index, path, n_buckets=4)
+    assert set(m1["buckets"]) == {"0", "1", "2", "3"}
+    # resume: a second write skips all completed buckets (manifest check)
+    m2 = write_index(index, path, n_buckets=4)
+    assert m2["buckets"] == m1["buckets"]
+    loaded = read_index(spark, path)
+    got = score_queries(loaded, QUERIES, K).orderBy("query_id", "rank").collect()
+    orig = score_queries(index, QUERIES, K).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in orig]
+    assert loaded.n_docs == index.n_docs
