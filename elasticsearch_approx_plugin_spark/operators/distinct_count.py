@@ -1,0 +1,141 @@
+"""Two-phase CountThenEstimate aggregation over DataFrames.
+
+The Spark re-expression of the reference's distinct pipeline
+(collect per shard → serialize → reduce → materialize,
+``DistinctCollector.java:72-136`` / ``InternalDistinctFacet.java:130-146``
+in /root/reference):
+
+  phase 1 (map side, no shuffle): ``mapInPandas`` folds each Arrow
+    batch into one ``CountThenEstimate`` state per group key — the
+    per-shard collector;
+  phase 2 (one shuffle on the group key): ``applyInPandas`` merges the
+    partial states — the coordinator reduce. State travels as
+    ``BinaryType`` (the varint wire format analog).
+
+Values are hashed JVM-side with ``xxhash64`` before phase 1, so Python
+only ever sees int64 batches. The shuffle carries one small state per
+(input-partition × group) instead of raw values — for a 100 TB input
+with B buckets this is O(partitions × B × state) bytes, independent of
+row count; hot groups cannot skew the shuffle because every partition
+contributes exactly one row per group it saw.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hll import HLL_DEFAULT_RSD
+from ..functions.sketch import CountThenEstimate
+
+_HASH_COL = "__value_hash"
+_STATE_COL = "__sketch_state"
+
+
+def _partial_states(group_cols: list[str], threshold: int, rsd: float):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, CountThenEstimate] = {}
+        keys_seen: dict[tuple, tuple] = {}
+        for pdf in batches:
+            hashes = pdf[_HASH_COL].to_numpy(dtype=np.int64).view(np.uint64)
+            if not group_cols:
+                key = ()
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = CountThenEstimate(threshold, rsd)
+                    keys_seen[key] = ()
+                st.offer_hashes(hashes)
+                continue
+            codes, uniques = pd.factorize(
+                pd.Series(list(zip(*[pdf[c] for c in group_cols]))), sort=False
+            )
+            for gi, key in enumerate(uniques):
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = CountThenEstimate(threshold, rsd)
+                    keys_seen[key] = key
+                st.offer_hashes(hashes[codes == gi])
+        if states:
+            rows = {c: [keys_seen[k][i] for k in states] for i, c in enumerate(group_cols)}
+            rows[_STATE_COL] = [st.to_bytes() for st in states.values()]
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def _merge_states(group_cols: list[str]):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = CountThenEstimate.from_bytes(pdf[_STATE_COL].iloc[0])
+        for b in pdf[_STATE_COL].iloc[1:]:
+            st = st.merge(CountThenEstimate.from_bytes(b))
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["count"] = [st.count]
+        out["distinct_count"] = [st.cardinality()]
+        out["tipped"] = [st.tipped]
+        return pd.DataFrame(out)
+
+    return fn
+
+
+def _out_schema(df: DataFrame, group_cols: list[str], extra: list[T.StructField]) -> T.StructType:
+    fields = [df.schema[c] for c in group_cols]
+    return T.StructType(fields + extra)
+
+
+def sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    exact_threshold: int = 1000,
+    rsd: float = HLL_DEFAULT_RSD,
+    totals: bool = False,
+) -> DataFrame:
+    """``group_cols → (count, distinct_count, tipped)`` with
+    exact-below-threshold / HLL-above semantics.
+
+    ``count`` = total non-null occurrences (the reference's
+    ``DistinctCountPayload`` total); ``distinct_count`` exact iff the
+    group's true cardinality never exceeded ``exact_threshold``
+    (sentinels: -1 never tip, 0 always sketch)."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = df.filter(value.isNotNull()).select(
+        *group_cols, F.xxhash64(value).alias(_HASH_COL)
+    )
+    partial_schema = _out_schema(hashed, group_cols, [T.StructField(_STATE_COL, T.BinaryType())])
+    partials = hashed.mapInPandas(
+        _partial_states(group_cols, exact_threshold, rsd), partial_schema
+    )
+    final_schema = _out_schema(
+        hashed,
+        group_cols,
+        [
+            T.StructField("count", T.LongType()),
+            T.StructField("distinct_count", T.LongType()),
+            T.StructField("tipped", T.BooleanType()),
+        ],
+    )
+    def _global(p: DataFrame) -> DataFrame:
+        g_schema = T.StructType(final_schema.fields[len(group_cols) :])
+        return p.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+            _merge_states([]), g_schema
+        )
+
+    if not group_cols:
+        return _global(partials)
+    grouped = partials.groupBy(*group_cols).applyInPandas(
+        _merge_states(group_cols), final_schema
+    )
+    if not totals:
+        return grouped
+    # facet-level total row: merge of ALL bucket states — distinct across
+    # the whole result, not Σ buckets (InternalDistinctFacet.java:188-236).
+    partials = partials.persist()
+    overall = _global(partials)
+    for c in group_cols:
+        overall = overall.withColumn(c, F.lit(None).cast(hashed.schema[c].dataType))
+    return grouped.unionByName(overall.select(*[f.name for f in final_schema.fields]))

@@ -1,0 +1,82 @@
+"""Term list facet — fast unsorted distinct terms of a field.
+
+Reference: ``TermListFacetExecutor.java`` (/root/reference) — two modes:
+
+- ``collector``: visit matching docs, add terms to a per-shard hash
+  with a per-shard cap (``max_per_shard``, default 1000,
+  ``termlist/Constants.java:5``) and optional Bernoulli doc sampling
+  (``sample ∈ (0,1]``, seeded ``Random(0)``). Spark shape:
+  ``df.sample(fraction, seed=0)`` → explode → per-partition capped
+  distinct (``mapInPandas`` — the shard cap) → global ``distinct()``.
+- ``post``: iterate the term *dictionary* instead of documents —
+  recommended for low-cardinality fields (``README.md:218-220``); here
+  that is a scan of the index's dictionary table. ``sample`` is
+  rejected in post mode exactly like the reference
+  (``TermListFacetExecutor.java:150-153``).
+
+Numeric fields round-trip through strings (the reference decodes
+Lucene prefix-coded numerics, ``BytesRefUtils.java:197-208``; we just
+``cast``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_MAX_PER_PARTITION = 1000
+
+
+def _cap_partition_distinct(cap: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: set = set()
+        for pdf in batches:
+            if len(seen) >= cap:
+                break
+            for t in pd.unique(pdf["term"]):
+                seen.add(t)
+                if len(seen) >= cap:
+                    break
+        if seen:
+            yield pd.DataFrame({"term": sorted(seen)})
+
+    return fn
+
+
+def term_list(
+    df: DataFrame,
+    field: str,
+    max_per_partition: int = DEFAULT_MAX_PER_PARTITION,
+    sample: float = 1.0,
+    seed: int = 0,
+    mode: str = "collector",
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct terms of ``field`` → single-column ``term`` DataFrame."""
+    if not (0.0 < sample <= 1.0):
+        raise ValueError("sample must be in (0, 1]")  # TermListFacetParser.java:66-67
+    if mode == "post":
+        if sample != 1.0:
+            raise ValueError("sampling not supported in post mode")
+        if dictionary is None:
+            raise ValueError("post mode needs the index dictionary table")
+        return dictionary.select(F.col("term").cast("string").alias("term")).distinct()
+    if mode != "collector":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if sample < 1.0:
+        df = df.sample(fraction=sample, seed=seed)
+    if isinstance(df.schema[field].dataType, T.ArrayType):
+        terms = df.select(F.explode(field).alias("term"))
+    else:
+        terms = df.select(F.col(field).alias("term"))
+    terms = terms.filter(F.col("term").isNotNull()).select(
+        F.col("term").cast("string").alias("term")
+    )
+    if max_per_partition is not None:
+        terms = terms.mapInPandas(_cap_partition_distinct(max_per_partition), "term string")
+    return terms.distinct()

@@ -1,0 +1,177 @@
+"""Date facet modes vs DuckDB exact oracles (the reference's
+exact-oracle cross-check pattern, CountingQueryResultChecker.java /
+DistinctQueryResultChecker.java with 1% HLL tolerance)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.operators.date_facet import date_facet
+from elasticsearch_approx_plugin_spark.operators.distinct_count import sketch_agg
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir_med):
+    return spark.read.parquet(f"{sf_dir_med}/events.parquet")
+
+
+def _duck(sf_dir, sql):
+    return duckdb.sql(sql.format(ev=f"read_parquet('{sf_dir}/events.parquet')")).fetchall()
+
+
+def test_counting_facet(events, sf_dir_med):
+    got = [
+        (r["time"], r["count"])
+        for r in date_facet(events, "ts", "hour").collect()
+    ]
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('hour', ts) AS time, count(*) AS count FROM {ev} GROUP BY 1 ORDER BY 1",
+    )
+    assert got == exp
+
+
+def test_counting_facet_totals_chronological(events, sf_dir_med):
+    rows = date_facet(events, "ts", "day", totals=True).collect()
+    times = [r["time"] for r in rows if r["time"] is not None]
+    assert times == sorted(times)  # ChronologicalOrder.java analog
+    total = [r["count"] for r in rows if r["time"] is None]
+    assert total == [events.count()]
+
+
+def test_sliced_facet(events, sf_dir_med):
+    got = [
+        (r["time"], r["term"], r["count"])
+        for r in date_facet(events, "ts", "day", slice_field="event_type").collect()
+    ]
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('day', ts)::TIMESTAMP AS time, event_type AS term, count(*) AS count "
+        "FROM {ev} GROUP BY 1, 2 ORDER BY 1, 2",
+    )
+    assert got == exp
+
+
+def test_distinct_facet_exact(events, sf_dir_med):
+    got = [
+        (r["time"], r["count"], r["distinct_count"])
+        for r in date_facet(
+            events, "ts", "day", distinct_field="user_id", distinct_method="exact"
+        ).collect()
+    ]
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('day', ts)::TIMESTAMP AS time, count(user_id) AS count, "
+        "count(DISTINCT user_id) AS distinct_count FROM {ev} GROUP BY 1 ORDER BY 1",
+    )
+    assert got == exp
+
+
+def test_distinct_facet_hybrid_exact_regime(events, sf_dir_med):
+    """Below threshold the hybrid sketch must be EXACT (never tipped)."""
+    got = {
+        r["time"]: (r["count"], r["distinct_count"], r["tipped"])
+        for r in date_facet(
+            events, "ts", "day", distinct_field="user_id",
+            exact_threshold=-1, distinct_method="hybrid",
+        ).collect()
+    }
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('day', ts)::TIMESTAMP AS time, count(user_id) AS count, "
+        "count(DISTINCT user_id) AS distinct_count FROM {ev} GROUP BY 1",
+    )
+    for time, count, dc in exp:
+        g_count, g_dc, tipped = got[time]
+        assert (g_count, g_dc) == (count, dc)
+        assert not tipped
+
+
+def test_distinct_facet_hybrid_tipped_within_tolerance(events, sf_dir_med):
+    """threshold=0 → always HLL; estimates within 2% (BASELINE.md)."""
+    got = {
+        r["time"]: (r["distinct_count"], r["tipped"])
+        for r in date_facet(
+            events, "ts", "day", distinct_field="user_id",
+            exact_threshold=0, distinct_method="hybrid",
+        ).collect()
+    }
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('day', ts)::TIMESTAMP AS time, count(DISTINCT user_id) AS dc "
+        "FROM {ev} GROUP BY 1",
+    )
+    for time, dc in exp:
+        est, tipped = got[time]
+        assert tipped
+        assert abs(est - dc) <= max(0.02 * dc, 1)
+
+
+def test_sliced_distinct_and_overall_total(events, sf_dir_med):
+    rows = date_facet(
+        events, "ts", "day", distinct_field="user_id", slice_field="event_type",
+        exact_threshold=-1, distinct_method="hybrid", totals=True,
+    ).collect()
+    got = {
+        (r["time"], r["term"]): (r["count"], r["distinct_count"]) for r in rows
+    }
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('day', ts)::TIMESTAMP AS time, event_type AS term, "
+        "count(user_id) AS count, count(DISTINCT user_id) AS dc FROM {ev} GROUP BY 1, 2",
+    )
+    for time, term, count, dc in exp:
+        assert got[(time, term)] == (count, dc)
+    # facet-level total = distinct across whole result, not Σ buckets
+    overall_exp = _duck(sf_dir_med, "SELECT count(user_id), count(DISTINCT user_id) FROM {ev}")[0]
+    assert got[(None, None)] == overall_exp
+
+
+def test_24h_interval_equals_day(events):
+    """RandomizedApproxReadWriteTest 24h≡day regression analog."""
+    a = [(r["time"], r["count"]) for r in date_facet(events, "ts", "24h").collect()]
+    b = [(r["time"], r["count"]) for r in date_facet(events, "ts", "day").collect()]
+    assert a == b
+
+
+def test_1m_means_minute(events):
+    a = [tuple(r) for r in date_facet(events, "ts", "1m").limit(5).collect()]
+    b = [tuple(r) for r in date_facet(events, "ts", "minute").limit(5).collect()]
+    assert a == b
+
+
+def test_pre_zone_shifts_boundaries(events, sf_dir_med):
+    got = [
+        (r["time"], r["count"])
+        for r in date_facet(events, "ts", "day", pre_zone="+05:30").collect()
+    ]
+    exp = _duck(
+        sf_dir_med,
+        "SELECT (date_trunc('day', ts + INTERVAL '330' MINUTE) - INTERVAL '330' MINUTE)::TIMESTAMP AS time, "
+        "count(*) AS count FROM {ev} GROUP BY 1 ORDER BY 1",
+    )
+    assert got == exp
+
+
+def test_pre_offset(events, sf_dir_med):
+    got = [
+        (r["time"], r["count"])
+        for r in date_facet(events, "ts", "day", pre_offset="+6h").collect()
+    ]
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('day', ts + INTERVAL '6' HOUR)::TIMESTAMP AS time, count(*) AS count "
+        "FROM {ev} GROUP BY 1 ORDER BY 1",
+    )
+    assert got == exp
+
+
+def test_value_distinct_mutually_exclusive(events):
+    with pytest.raises(ValueError):
+        date_facet(events, "ts", "day", value_field="value", distinct_field="user_id")
+
+
+def test_sketch_agg_global(events, sf_dir_med):
+    row = sketch_agg(events, [], "user_id", exact_threshold=-1).collect()[0]
+    exp = _duck(sf_dir_med, "SELECT count(user_id), count(DISTINCT user_id) FROM {ev}")[0]
+    assert (row["count"], row["distinct_count"]) == exp

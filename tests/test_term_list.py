@@ -1,0 +1,81 @@
+"""Term list facet vs exact oracles (TermListFacetTest analog:
+exhaustive = exact distinct set, sampling ⊆ truth, numeric decode,
+post mode = collector mode on exhaustive runs, sample rejected in
+post mode)."""
+
+import duckdb
+import pytest
+
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.postings import build_index
+from elasticsearch_approx_plugin_spark.operators.term_list import term_list
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _truth_terms(sf_dir):
+    return {
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT DISTINCT t.term
+                FROM read_parquet('{sf_dir}/documents.parquet'),
+                     unnest(string_split_regex(text, '\\s+')) AS t(term)
+                WHERE t.term <> ''"""
+        ).fetchall()
+    }
+
+
+def test_exhaustive_equals_truth(docs, sf_dir):
+    toks = docs.select(tokenize_ws("text").alias("toks"))
+    got = {r["term"] for r in term_list(toks, "toks", max_per_partition=10**6).collect()}
+    assert got == _truth_terms(sf_dir)
+
+
+def test_scalar_column_and_numeric_decode(docs, sf_dir):
+    got = {r["term"] for r in term_list(docs, "source").collect()}
+    exp = {r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT source FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()}
+    assert got == exp
+    # numeric column round-trips through string decode (BytesRefUtils analog)
+    nums = {r["term"] for r in term_list(docs, "n_chars").collect()}
+    assert all(n.isdigit() for n in nums)
+    exp_n = {str(r[0]) for r in duckdb.sql(
+        f"SELECT DISTINCT n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()}
+    assert nums == exp_n
+
+
+def test_sample_is_subset(docs, sf_dir):
+    toks = docs.select(tokenize_ws("text").alias("toks"))
+    sampled = {r["term"] for r in term_list(toks, "toks", sample=0.3, seed=0).collect()}
+    truth = _truth_terms(sf_dir)
+    assert sampled and sampled <= truth
+
+
+def test_per_partition_cap(docs):
+    toks = docs.select(tokenize_ws("text").alias("toks")).repartition(4)
+    capped = term_list(toks, "toks", max_per_partition=5).collect()
+    assert 0 < len(capped) <= 4 * 5
+
+
+def test_post_mode_equals_collector_exhaustive(docs, sf_dir):
+    toks = docs.select("doc_id", tokenize_ws("text").alias("tokens"))
+    idx = build_index(toks, range_bits=6)
+    post = {r["term"] for r in term_list(docs, "text", mode="post", dictionary=idx.dictionary).collect()}
+    assert post == _truth_terms(sf_dir)
+
+
+def test_post_mode_rejects_sample(docs):
+    with pytest.raises(ValueError):
+        term_list(docs, "text", mode="post", sample=0.5, dictionary=None)
+
+
+def test_sample_validation(docs):
+    with pytest.raises(ValueError):
+        term_list(docs, "text", sample=0.0)
+    with pytest.raises(ValueError):
+        term_list(docs, "text", sample=1.5)
