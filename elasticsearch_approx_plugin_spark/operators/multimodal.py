@@ -1,0 +1,84 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (`NotImplementedError`) with a deterministic fake
+behind a flag; everything Spark-side is real and tested: the typed
+schema (binary payload + struct metadata), Arrow batch shapes through
+``mapInPandas``, partition-preserving feature extraction, and the
+frame-sampling row expansion.
+
+At 100 TB the pattern matters more than the codec: binary columns ride
+parquet untouched (no Python until the UDF), metadata predicates prune
+at the scan, and the batch iterator keeps peak memory at
+``maxRecordsPerBatch × payload`` instead of a partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+
+
+def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * 4
+        rows.append((i, kind, bytearray(payload), (64 + i % 32, 48 + i % 16, 1000 + i, "fake")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes):
+    """REAL DECODE STUB — no codecs in this container.
+
+    Swap in PIL/libvips here on a real cluster; the Spark plumbing
+    around it (schema, batching, partitioning) is what this module
+    tests and does not change.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for decode→embed: hash-seeded vector."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame, dim: int = 16, use_fake_decoder: bool = True
+) -> DataFrame:
+    """payload → feature vector via Arrow-batched mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                decode_image(b"")  # raises: real codecs absent
+            feats = [
+                _fake_features(bytes(p), dim).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.mapInPandas(fn, "media_id long, features array<float>")
+
+
+def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Video → frame rows: one row per sampled timestamp (pure Catalyst
+    row expansion; the decode of each frame is the stubbed step)."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))),
+        )
+        .select("media_id", "frame_ts_ms", "payload")
+    )

@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines — language ID, quality
+scoring, token counting, document fingerprinting.
+
+Every operator here is a pure Catalyst expression pipeline (built-in
+``pyspark.sql.functions`` only — the whole module is UDF-free and
+whole-stage-codegen'd), and every one has an exact ANSI-SQL twin for
+the DuckDB oracle gate, because the heuristics are defined as closed
+arithmetic over the same regex/token primitives both engines share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_ws
+
+# tiny per-language marker vocabularies (deterministic heuristic, not a
+# model); ties break by language name ascending.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de": ("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"),
+}
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count (a BPE-ish proxy is tokens*1.3, but the
+    contract here is the exact whitespace count)."""
+    return F.size(tokenize_ws(text_col))
+
+
+def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape features + a
+    composite quality score in [0, 1]."""
+    toks = tokenize_ws(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    mean_wlen = F.when(n_tok > 0, (n_chars - n_tok + 1) / n_tok).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6))
+        .withColumn("mean_word_len", F.round(mean_wlen, 6))
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker hits
+    (ties → 'und' if zero hits, else lexicographically first language).
+
+    Explode-free: one ``size(filter(tokens, in markers))`` per language
+    — a single projection, no shuffle at all.
+    """
+    toks = tokenize_ws(text_col)
+    hits = [
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in ws]), t))
+        ).alias(f"hits_{lang}")
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(id_col, *hits)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # first language reaching the max wins (ties deterministic)
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return scored.select(id_col, *[f"hits_{lg}" for lg in langs], pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set (the news-article / fuzzy-dedup canonicalization); docs equal
+    up to token order/multiplicity collide."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokenize_ws(text_col))), " ")
+    return df.select(id_col, F.md5(canon).alias("fingerprint"))

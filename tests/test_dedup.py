@@ -1,0 +1,136 @@
+"""Dedup operators on a corpus with planted exact and near duplicates."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+
+N_BASE = 50
+N_EXACT_DUP = 5
+N_NEAR_DUP = 5
+
+ORACLE_JACCARD = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM read_parquet('{path}')
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM d
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common / (za.sz + zb.sz - common), 6) AS jaccard
+FROM pairs JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir, tmp_path_factory):
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < N_BASE)
+    )
+    exact = base.filter(F.col("doc_id") < N_EXACT_DUP).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    # near dup: drop the last word
+    near = base.filter(F.col("doc_id") < N_NEAR_DUP).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    df = base.union(exact).union(near)
+    path = str(tmp_path_factory.mktemp("dedup") / "corpus.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df, f"{path}/*.parquet"
+
+
+def test_dedup_exact(corpus, spark):
+    df, path = corpus
+    got = {
+        (r["doc_id"], r["dup_count"]) for r in dedup_exact(df, "text", "doc_id").collect()
+    }
+    exp = {
+        (r[0], r[1])
+        for r in duckdb.sql(
+            f"SELECT min(doc_id), count(*) FROM read_parquet('{path}') GROUP BY text"
+        ).fetchall()
+    }
+    assert got == {(i, c) for (i, c) in exp}
+    assert sum(c for _, c in got) == df.count()
+    assert all(c == 2 for i, c in got if i < N_EXACT_DUP)
+
+
+def test_ngram_jaccard_matches_oracle(corpus):
+    df, path = corpus
+    toks = df.select("doc_id", tokenize_ws("text").alias("tokens"))
+    got = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(toks, "tokens", "doc_id", threshold=0.5).collect()
+    )
+    exp = duckdb.sql(ORACLE_JACCARD.format(path=path, threshold=0.5)).fetchall()
+    assert got == [tuple(r) for r in exp]
+    got_ids = {(a, b) for a, b, _ in got}
+    assert all((i, i + 1000) in got_ids for i in range(N_EXACT_DUP))
+
+
+def test_minhash_lsh_finds_planted_pairs(corpus):
+    df, path = corpus
+    toks = df.select("doc_id", tokenize_ws("text").alias("tokens"))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_dedup(toks, "tokens", "doc_id", threshold=0.8).collect()
+    }
+    exp = {
+        (a, b): j
+        for a, b, j in duckdb.sql(ORACLE_JACCARD.format(path=path, threshold=0.8)).fetchall()
+    }
+    # exact verification ⇒ no false positives; banding recall catches all
+    # planted near-identical pairs
+    assert set(got) <= set(exp)
+    for i in range(N_EXACT_DUP):
+        assert (i, i + 1000) in got and got[(i, i + 1000)] == 1.0
+    assert len(got) >= 0.9 * len(exp)
+
+
+def test_simhash_exact_dups_collide(corpus):
+    df, _ = corpus
+    toks = df.select("doc_id", tokenize_ws("text").alias("tokens"))
+    sig = {r["id"]: r["simhash"] for r in simhash(toks, "tokens", "doc_id").collect()}
+    for i in range(N_EXACT_DUP):
+        assert sig[i] == sig[i + 1000]
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidates(
+            simhash(toks, "tokens", "doc_id").withColumnRenamed("id", "id")
+        ).collect()
+    }
+    assert all((i, i + 1000) in cand for i in range(N_EXACT_DUP))
+
+
+def test_simhash_near_dups_close(corpus):
+    df, _ = corpus
+    toks = df.select("doc_id", tokenize_ws("text").alias("tokens"))
+    sig = {r["id"]: r["simhash"] for r in simhash(toks, "tokens", "doc_id").collect()}
+    for i in range(N_NEAR_DUP):
+        ham = bin((sig[i] ^ sig[i + 2000]) & (2**64 - 1)).count("1")
+        assert ham <= 8  # one dropped token barely moves the signature
