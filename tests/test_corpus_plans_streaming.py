@@ -1,0 +1,99 @@
+"""Corpus generator invariants, query-spec dataclasses, streaming facet."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.plans import DateFacetQuery, TermListQuery
+from elasticsearch_approx_plugin_spark.sources.corpus import (
+    assert_sha_ok,
+    content_for_row,
+    generate_corpus,
+    tokens_for_row,
+)
+from elasticsearch_approx_plugin_spark.streaming.facets import streaming_date_facet
+
+
+def test_corpus_deterministic_across_parallelism(spark):
+    a = generate_corpus(spark, 100, parallelism=1).orderBy("commit").collect()
+    b = generate_corpus(spark, 100, parallelism=7).orderBy("commit").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_corpus_sha_invariant_and_ground_truth(spark):
+    df = generate_corpus(spark, 50)
+    assert_sha_ok(df)  # input_hint invariant: sha256(content) per row
+    rows = {r["commit"]: r for r in df.collect()}
+    # closed-form ground truth: driver-side token list == spark content
+    for i in [0, 7, 49]:
+        content = content_for_row(i)
+        assert content.split() == tokens_for_row(i)
+        assert any(r["content"] == content for r in rows.values())
+    # per-row unique token ⇒ closed-form distinct count
+    uniq = df.select(F.explode(F.split("content", r"\s+")).alias("t")).filter(
+        F.col("t").startswith("uniq_")
+    )
+    assert uniq.distinct().count() == 50
+
+
+def test_corpus_sha_detects_corruption(spark):
+    df = generate_corpus(spark, 10).withColumn(
+        "content", F.concat(F.col("content"), F.lit("x"))
+    )
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        assert_sha_ok(df)
+
+
+def test_date_facet_query_spec(spark, sf_dir_med):
+    events = spark.read.parquet(f"{sf_dir_med}/events.parquet")
+    spec = DateFacetQuery("ts", "day", slice_field="event_type", filter="value > 100")
+    got = {(r["time"], r["term"]): r["count"] for r in spec.run(events).collect()}
+    exp = {
+        (r["time"], r["term"]): r["count"]
+        for r in events.filter("value > 100")
+        .groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("time"),
+            F.col("event_type").alias("term"),
+        )
+        .count()
+        .collect()
+    }
+    assert got == exp
+
+
+def test_term_list_query_spec(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["term"] for r in TermListQuery("lang").run(docs).collect()}
+    exp = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert got == exp
+
+
+def test_streaming_date_facet_matches_batch(spark, sf_dir, tmp_path):
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "stream_src")
+    batch.write.mode("overwrite").parquet(src)  # stream source must be a dir
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = streaming_date_facet(stream, "ts", "hour", slice_field="event_type")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("facet_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["time"], r["term"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM facet_out").collect()
+    }
+    exp = {
+        (r["time"], r["term"]): r["cnt"]
+        for r in batch.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("time"),
+            F.col("event_type").alias("term"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == exp
