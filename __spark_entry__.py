@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: inverted-index build + BM25 top-k over the
+sf0.001 documents table. ``queries()`` — one entry per implemented
+operator (SURVEY.md §2 + training-data ops); ``oracle_sql()`` — DuckDB
+twins for every SQL-expressible one (tables are pre-registered views).
+
+Conventions shared by both sides so value-hashes match:
+- bucket timestamps → epoch milliseconds (``time_ms`` BIGINT), the
+  reference's own external representation (TimePeriod.time);
+- every float rounded to 6 decimals; ties in top-k broken by id;
+- aggregate columns aliased identically (cnt, distinct_cnt, …).
 """
 
 from __future__ import annotations
@@ -12,27 +17,349 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.ann import cosine_topk, lsh_cosine_topk
+from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
+from elasticsearch_approx_plugin_spark.operators.date_facet import date_facet
+from elasticsearch_approx_plugin_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from elasticsearch_approx_plugin_spark.operators.distinct_count import sketch_agg
+from elasticsearch_approx_plugin_spark.operators.postings import build_index
+from elasticsearch_approx_plugin_spark.operators.term_list import term_list
+from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+    add_quality_features,
+    fingerprint,
+    lang_id,
+    token_count,
+)
+from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["table"]),
+    (2, ["scan", "merge", "sort"]),
+    (3, ["window", "stream", "spark", "batch"]),
+]
+K = 10
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", tokenize_ws("text").alias("tokens"))
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _INDEX_CACHE:
+        _INDEX_CACHE[sf_dir] = build_index(_tokens(spark, sf_dir), range_bits=9)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _ms(col: str = "time") -> F.Column:
+    return F.unix_millis(F.col(col).cast("timestamp")).alias("time_ms")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    idx = build_index(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", tokenize_ws("text").alias("tokens")
+        ),
+        range_bits=9,
+    )
+    return score_queries(idx, BM25_QUERIES, K)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- inverted index + BM25 (north rule core) --------------------------
+    q["bm25_topk"] = lambda spark, sf: score_queries(_index(spark, sf), BM25_QUERIES, K)
+    q["index_dictionary"] = lambda spark, sf: _index(spark, sf).dictionary.select(
+        "term", "df", "cf"
+    )
+    q["index_doc_stats"] = lambda spark, sf: _tokens(spark, sf).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.size("tokens")), 6).alias("avgdl"),
+    )
+
+    # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
+    q["date_facet_counting"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "hour"
+    ).select(_ms(), F.col("count").alias("cnt"))
+    q["date_facet_sliced"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", slice_field="event_type"
+    ).select(_ms(), "term", F.col("count").alias("cnt"))
+    q["date_facet_distinct_exact"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", distinct_field="user_id", distinct_method="exact"
+    ).select(_ms(), F.col("count").alias("cnt"), F.col("distinct_count").alias("distinct_cnt"))
+    q["date_facet_distinct_hybrid"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", distinct_field="user_id",
+        exact_threshold=-1, distinct_method="hybrid",
+    ).select(_ms(), F.col("count").alias("cnt"), F.col("distinct_count").alias("distinct_cnt"))
+    q["date_facet_distinct_approx"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", distinct_field="user_id",
+        exact_threshold=0, distinct_method="hybrid",
+    ).select(_ms(), F.col("distinct_count").alias("distinct_cnt"))
+    q["date_facet_rollup_totals"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", totals=True
+    ).select(_ms(), F.col("count").alias("cnt"))
+    q["date_facet_prezone"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", pre_zone="+05:30"
+    ).select(_ms(), F.col("count").alias("cnt"))
+    q["date_facet_24h"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "24h"
+    ).select(_ms(), F.col("count").alias("cnt"))
+    q["date_facet_hour_offset"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "hour", pre_offset="+30m"
+    ).select(_ms(), F.col("count").alias("cnt"))
+
+    # -- distinct counting (reference ops 7, 9, 10) ------------------------
+    q["distinct_global"] = lambda spark, sf: sketch_agg(
+        _events(spark, sf), [], "user_id", exact_threshold=-1
+    ).select(F.col("count").alias("cnt"), F.col("distinct_count").alias("distinct_cnt"))
+
+    # -- term lists (reference ops 16-18) ----------------------------------
+    q["term_list_text"] = lambda spark, sf: term_list(
+        _tokens(spark, sf), "tokens", max_per_partition=10**9
+    )
+    q["term_list_numeric"] = lambda spark, sf: term_list(
+        _docs(spark, sf), "n_chars", max_per_partition=10**9
+    )
+    q["term_list_sampled"] = lambda spark, sf: term_list(
+        _tokens(spark, sf), "tokens", sample=0.3, seed=0
+    )
+
+    # -- dedup -------------------------------------------------------------
+    q["dedup_exact"] = lambda spark, sf: dedup_exact(_docs(spark, sf), "text", "doc_id")
+    q["ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
+        _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.5
+    )
+    q["minhash_lsh_dedup"] = lambda spark, sf: minhash_lsh_dedup(
+        _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.5
+    )
+    q["simhash"] = lambda spark, sf: simhash(_tokens(spark, sf), "tokens", "doc_id")
+
+    # -- similarity search --------------------------------------------------
+    def _queries_vecs(spark, sf):
+        rows = (
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .filter("vec_id < 3")
+            .orderBy("vec_id")
+            .collect()
+        )
+        return [(r["vec_id"], list(map(float, r["embedding"]))) for r in rows]
+
+    q["ann_cosine_topk"] = lambda spark, sf: cosine_topk(
+        spark.read.parquet(f"{sf}/embeddings.parquet"), _queries_vecs(spark, sf), 10
+    )
+    q["ann_lsh_topk"] = lambda spark, sf: lsh_cosine_topk(
+        spark.read.parquet(f"{sf}/embeddings.parquet"),
+        _queries_vecs(spark, sf),
+        10,
+        n_planes=4,
+        n_tables=8,
+    )
+
+    # -- text analysis -------------------------------------------------------
+    q["token_count"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    q["fingerprint"] = lambda spark, sf: fingerprint(_docs(spark, sf), "text", "doc_id")
+    q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf), "text", "doc_id").select(
+        "doc_id", "pred_lang"
+    )
+    q["quality_features"] = lambda spark, sf: add_quality_features(
+        _docs(spark, sf), "text"
+    ).select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score")
+
+    # -- generic OLAP parity (scan→filter→agg→sort pipeline) -----------------
+    q["lineitem_pricing_summary"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+    # -- corpus generator (input_hint pipeline; no oracle table) -------------
+    q["corpus_lang_histogram"] = lambda spark, sf: (
+        generate_corpus(spark, 300).groupBy("lang").agg(F.count("*").alias("cnt"))
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered)
+# ---------------------------------------------------------------------------
+
+_TOK = (
+    "SELECT doc_id, t.term FROM documents, "
+    "unnest(string_split_regex(text, '\\s+')) AS t(term) WHERE t.term <> ''"
+)
+
+_BM25 = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in sorted(set(ts)))}) AS q(query_id, term)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
+_SHINGLES = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM d
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(common / (za.sz + zb.sz - common), 6) AS jaccard
+FROM pairs JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+WHERE round(common / (za.sz + zb.sz - common), 6) >= 0.5
+"""
+
+_LANGS = {
+    "de": ("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+}
+
+
+def _lang_sql() -> str:
+    hit = lambda lg: (
+        "len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), "
+        f"t -> list_contains([{', '.join(repr(w) for w in _LANGS[lg])}], t)))"
+    )
+    hits = ", ".join(f"{hit(lg)} AS hits_{lg}" for lg in sorted(_LANGS))
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in sorted(_LANGS)) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lg in sorted(_LANGS):
+        case += f"WHEN hits_{lg} = {best} THEN '{lg}' "
+    case += "END"
+    return f"SELECT doc_id, {case} AS pred_lang FROM (SELECT doc_id, {hits} FROM documents)"
+
+
+_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+             t -> list_contains(['the','and','of','to','in','is','that','it','for','on'], t))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_stop / greatest(n_tok, 1), 6) AS stopword_ratio,
+       round( least(n_tok / 64.0, 1.0) * 0.4
+            + (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 4, 1.0)) * 0.3
+            + least(round(n_stop / greatest(n_tok, 1), 6) * 5, 1.0) * 0.3, 6) AS quality_score
+FROM f
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev_day = "epoch_ms(date_trunc('day', ts)::TIMESTAMP)"
+    return {
+        "bm25_topk": _BM25,
+        "index_dictionary": f"WITH tok AS ({_TOK}) "
+        "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY 1",
+        "index_doc_stats": f"WITH tok AS ({_TOK}), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1) "
+        "SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl",
+        "date_facet_counting": "SELECT epoch_ms(date_trunc('hour', ts)) AS time_ms, "
+        "count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_sliced": f"SELECT {ev_day} AS time_ms, event_type AS term, "
+        "count(*) AS cnt FROM events GROUP BY 1, 2",
+        "date_facet_distinct_exact": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "
+        "count(DISTINCT user_id) AS distinct_cnt FROM events GROUP BY 1",
+        "date_facet_distinct_hybrid": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "
+        "count(DISTINCT user_id) AS distinct_cnt FROM events GROUP BY 1",
+        "date_facet_rollup_totals": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
+        "FROM events GROUP BY ROLLUP(1)",
+        "date_facet_prezone": "SELECT epoch_ms((date_trunc('day', ts + INTERVAL '330' MINUTE) "
+        "- INTERVAL '330' MINUTE)::TIMESTAMP) AS time_ms, count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_24h": "SELECT (epoch_ms(ts) // 86400000) * 86400000 AS time_ms, "
+        "count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_hour_offset": "SELECT epoch_ms(date_trunc('hour', ts + INTERVAL '30' MINUTE)) "
+        "AS time_ms, count(*) AS cnt FROM events GROUP BY 1",
+        "distinct_global": "SELECT count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
+        "FROM events",
+        "term_list_text": f"WITH tok AS ({_TOK}) SELECT DISTINCT term FROM tok",
+        "term_list_numeric": "SELECT DISTINCT n_chars::VARCHAR AS term FROM documents",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)",
+        "ngram_jaccard": _SHINGLES,
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+FROM scored QUALIFY rank <= 10
+""",
+        "token_count": "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
+        "t -> t <> '')) AS n_tokens FROM documents",
+        "fingerprint": "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))), ' ')) AS fingerprint "
+        "FROM documents",
+        "lang_id": _lang_sql(),
+        "quality_features": _QUALITY,
+        "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 6) AS sum_qty, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue, count(*) AS cnt "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2",
+        # no oracle (non-SQL-expressible / hash- or sample-dependent):
+        # date_facet_distinct_approx, term_list_sampled, minhash_lsh_dedup,
+        # simhash, ann_lsh_topk, corpus_lang_histogram
+    }

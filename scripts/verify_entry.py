@@ -1,0 +1,92 @@
+"""Local stand-in for the driver's correctness gate: runs every
+``queries()`` entry at sf0.01 next to its ``oracle_sql()`` twin in
+DuckDB and compares row count, column names, and an order-insensitive
+value multiset. Usage: python scripts/verify_entry.py [sf_dir]"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from elasticsearch_approx_plugin_spark.session import get_spark
+from elasticsearch_approx_plugin_spark.sources.tables import TABLE_NAMES
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[8]", shuffle_partitions="16")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = df.collect()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR {e}"))
+            print(f"FAIL  {name}: spark error {e}")
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(rows)} rows) {time.time()-t0:.1f}s")
+            if len(rows) == 0 and name != "noop":
+                failures.append((name, "0 rows (rows-only check)"))
+            continue
+        try:
+            ores = con.sql(oracles[name])
+            ocols, orows = ores.columns, ores.fetchall()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR {e}"))
+            print(f"FAIL  {name}: oracle error {e}")
+            continue
+        if sorted(cols) != sorted(ocols):
+            failures.append((name, f"schema {sorted(cols)} != {sorted(ocols)}"))
+            print(f"FAIL  {name}: schema {sorted(cols)} != {sorted(ocols)}")
+            continue
+        a, b = norm_rows(cols, [tuple(r) for r in rows]), norm_rows(ocols, orows)
+        if len(a) != len(b):
+            failures.append((name, f"rowcount {len(a)} != {len(b)}"))
+            print(f"FAIL  {name}: rowcount {len(a)} != {len(b)}")
+        elif a != b:
+            diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            failures.append((name, f"values differ at {diff}"))
+            print(f"FAIL  {name}: values differ: {diff}")
+        else:
+            print(f"ok    {name}: {len(a)} rows match {time.time()-t0:.1f}s")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:", [f[0] for f in failures])
+        sys.exit(1)
+    print(f"all {len(qs)} queries verified ({len(oracles)} with SQL oracles)")
+
+
+if __name__ == "__main__":
+    main()
