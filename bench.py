@@ -1,0 +1,214 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the north-rule scaling evidence:
+the same index-build + BM25 job at two parallelism levels (N and 4N
+cores — the sandbox stand-in for N vs 4N executors), reported as
+throughputs and efficiency, and written to BENCH.md.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., plus throughput/scaling keys}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.session import get_spark
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code, tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.ann import cosine_topk
+from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
+from elasticsearch_approx_plugin_spark.operators.date_facet import date_facet
+from elasticsearch_approx_plugin_spark.operators.dedup import dedup_exact, minhash_lsh_dedup
+from elasticsearch_approx_plugin_spark.operators.postings import build_index
+from elasticsearch_approx_plugin_spark.operators.term_list import term_list
+from elasticsearch_approx_plugin_spark.operators.text_analysis import add_quality_features
+from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BM25_QUERIES = 50
+SCALING_CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "24000"))
+
+
+def _frozen_queries(index) -> list[tuple[int, list[str]]]:
+    """50 deterministic queries mixing hot and rare dictionary terms."""
+    terms = [
+        r["term"]
+        for r in index.dictionary.orderBy(F.desc("df"), "term").limit(200).collect()
+    ]
+    rng = np.random.default_rng(42)
+    out = []
+    for qid in range(N_BM25_QUERIES):
+        n = 1 + qid % 4
+        out.append((qid, [terms[int(i)] for i in rng.integers(0, len(terms), n)]))
+    return out
+
+
+def _timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", tokenize_ws("text").alias("tokens"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    index = build_index(toks, range_bits=9)
+    t, _ = _timed(lambda: index.postings.count())
+    timings["index_build"] = round(t, 3)
+    extras["index_build_files_per_sec"] = round(n_docs / t, 1)
+
+    index.postings = index.postings.persist()
+    index.dictionary = index.dictionary.persist()
+    index.postings.count()
+    qs = _frozen_queries(index)
+    t, _ = _timed(lambda: score_queries(index, qs, 10).count())
+    timings["bm25_topk_50q"] = round(t, 3)
+    extras["bm25_qps"] = round(N_BM25_QUERIES / t, 2)
+
+    t, _ = _timed(
+        lambda: date_facet(
+            events, "ts", "hour", distinct_field="user_id",
+            exact_threshold=1000, distinct_method="hybrid",
+        ).count()
+    )
+    timings["date_facet_distinct_hybrid"] = round(t, 3)
+
+    t, _ = _timed(
+        lambda: date_facet(events, "ts", "day", slice_field="event_type").count()
+    )
+    timings["date_facet_sliced"] = round(t, 3)
+
+    t, _ = _timed(lambda: term_list(toks, "tokens", max_per_partition=10**6).count())
+    timings["term_list"] = round(t, 3)
+
+    t, _ = _timed(lambda: dedup_exact(docs, "text", "doc_id").count())
+    timings["dedup_exact"] = round(t, 3)
+
+    t, _ = _timed(
+        lambda: minhash_lsh_dedup(toks, "tokens", "doc_id", threshold=0.8).count()
+    )
+    timings["minhash_lsh_dedup"] = round(t, 3)
+
+    qvecs = [
+        (r["vec_id"], list(map(float, r["embedding"])))
+        for r in emb.filter("vec_id < 10").collect()
+    ]
+    t, _ = _timed(lambda: cosine_topk(emb, qvecs, 10).count())
+    timings["ann_cosine_topk"] = round(t, 3)
+
+    t, _ = _timed(lambda: add_quality_features(docs, "text").count())
+    timings["quality_features"] = round(t, 3)
+
+    index.postings.unpersist()
+    index.dictionary.unpersist()
+    return timings, extras
+
+
+def _scaling_job(spark) -> float:
+    """The scaling unit of work: generate corpus → build index → one
+    BM25 batch. Returns wall seconds (throughput = rows / sec)."""
+    t0 = time.time()
+    corpus = generate_corpus(spark, SCALING_CORPUS_ROWS)
+    toks = corpus.select(
+        # shuffle-free deterministic docIDs: masked hash, uniform over [0, 2^63)
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    )
+    idx = build_index(toks, range_bits=57)  # top 6 bits → ~64 doc ranges
+    idx.postings.count()
+    return time.time() - t0
+
+
+def measure_scaling() -> dict[str, float]:
+    small = max(CPUS // 4, 2)
+    res = {}
+    for n in (small, CPUS):
+        spark = get_spark(
+            app_name=f"bench_scaling_{n}", master=f"local[{n}]",
+            shuffle_partitions=str(max(n * 2, 8)),
+        )
+        sec = _scaling_job(spark)
+        res[n] = SCALING_CORPUS_ROWS / sec
+        spark.stop()
+    eff = (res[CPUS] / res[small]) / (CPUS / small)
+    return {
+        "scaling_cores_small": small,
+        "scaling_cores_large": CPUS,
+        "scaling_files_per_sec_small": round(res[small], 1),
+        "scaling_files_per_sec_large": round(res[CPUS], 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def write_bench_md(payload: dict) -> None:
+    lines = [
+        "# BENCH — measured numbers (local sandbox)",
+        "",
+        f"sf dir: `{payload['sf']}`, large run `local[{payload.get('scaling_cores_large', CPUS)}]`.",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in payload["queries"].items()]
+    lines += [
+        "",
+        f"- index build: **{payload.get('index_build_files_per_sec', '?')} files/sec**",
+        f"- BM25 top-k: **{payload.get('bm25_qps', '?')} QPS** ({N_BM25_QUERIES} frozen queries, k=10)",
+        "",
+        "## Scaling (north rule: N vs 4N parallelism, same input)",
+        "",
+        "Sandbox stand-in for two cluster sizes: the same corpus-generate →",
+        "index-build job at two local parallelism levels.",
+        "",
+        f"| cores | files/sec |",
+        f"|---|---|",
+        f"| {payload.get('scaling_cores_small')} | {payload.get('scaling_files_per_sec_small')} |",
+        f"| {payload.get('scaling_cores_large')} | {payload.get('scaling_files_per_sec_large')} |",
+        "",
+        f"**Scaling efficiency: {payload.get('scaling_efficiency')}** "
+        f"(target ≥ 0.8 per BASELINE.json; 1.0 = perfectly linear)",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def main():
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    timings, extras = run_suite(spark, SF_DIR)
+    spark.stop()
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        scaling = measure_scaling()
+    payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        **extras,
+        **scaling,
+    }
+    write_bench_md(payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

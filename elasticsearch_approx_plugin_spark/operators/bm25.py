@@ -105,7 +105,23 @@ def score_queries(
         [(qid, t, idf[t]) for qid, ts in queries for t in set(ts) if t in idf],
         "query_id long, term string, idf double",
     )
-    matched = index.postings.filter(F.col("term").isin(terms)).join(
+    postings = index.postings
+    if index.n_buckets and "bucket" in postings.columns:
+        # persisted index: prune whole bucket=N directories before the
+        # scan (partition pruning) — only the query terms' buckets load
+        bucket_rows = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.lit(t)), F.lit(index.n_buckets)).alias(f"b{i}")
+                    for i, t in enumerate(terms)
+                ]
+            )
+            .collect()[0]
+        )
+        buckets = sorted({int(v) for v in bucket_rows})
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    matched = postings.filter(F.col("term").isin(terms)).join(
         F.broadcast(qt), "term"
     )
     scorer = _make_scorer(index.k1, index.b, index.avgdl, k)

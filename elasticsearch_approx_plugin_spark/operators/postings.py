@@ -66,6 +66,7 @@ class InvertedIndex:
     k1: float = DEFAULT_K1
     b: float = DEFAULT_B
     range_bits: int = DEFAULT_RANGE_BITS
+    n_buckets: int | None = None  # set for persisted indexes (bucket= dirs)
 
 
 def assign_doc_ids(df: DataFrame, key_cols: list[str], n_buckets: int = 64) -> DataFrame:
@@ -236,4 +237,5 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         meta["k1"],
         meta["b"],
         meta["range_bits"],
+        n_buckets=meta.get("n_buckets"),
     )
