@@ -44,44 +44,58 @@ def _idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _topk_select(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, doc_id asc), deterministic."""
+    if uniq.size > k:
+        part = np.argpartition(-scores, k - 1)[:k]
+        # argpartition breaks ties arbitrarily → re-rank deterministically
+        # over a widened candidate set: all docs with score >= kth score
+        kth = scores[part].min()
+        cand = np.flatnonzero(scores >= kth)
+    else:
+        cand = np.arange(uniq.size)
+    return cand[np.lexsort((uniq[cand], -scores[cand]))[:k]]
+
+
 def _make_scorer(k1: float, b: float, avgdl: float, k: int):
+    """Scores one doc range for ALL queries in the batch.
+
+    Each (term, range) posting row is varint-decoded exactly once and
+    its tf-component cached; queries then gather their terms' arrays in
+    sorted-term order (fixed float accumulation order ⇒ deterministic
+    scores at any parallelism) and keep a local top-k.
+    """
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("term", kind="stable")  # fixed accumulation order
-        ids_parts, contrib_parts = [], []
-        for doc_b, tf_b, dl_b, idf in zip(
-            pdf["doc_ids"], pdf["tfs"], pdf["dls"], pdf["idf"]
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        by_term = pdf.drop_duplicates("term")
+        for term, doc_b, tf_b, dl_b in zip(
+            by_term["term"], by_term["doc_ids"], by_term["tfs"], by_term["dls"]
         ):
             doc_ids = delta_varint_decode(doc_b)
             tfs = varint_decode(tf_b).astype(np.float64)
             dls = varint_decode(dl_b).astype(np.float64)
-            contrib_parts.append(
-                idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            decoded[term] = (
+                doc_ids,
+                (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)),
             )
-            ids_parts.append(doc_ids)
-        all_ids = np.concatenate(ids_parts)
-        all_contrib = np.concatenate(contrib_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, all_contrib)
-        scores = np.round(scores, SCORE_DECIMALS)
-        if uniq.size > k:
-            # top-k by (score desc, doc_id asc); uniq is sorted asc already
-            part = np.argpartition(-scores, k - 1)[:k]
-            # argpartition breaks ties arbitrarily → re-rank deterministically
-            # over a widened candidate set: all docs with score >= kth score
-            kth = scores[part].min()
-            cand = np.flatnonzero(scores >= kth)
-        else:
-            cand = np.arange(uniq.size)
-        order = np.lexsort((uniq[cand], -scores[cand]))[:k]
-        sel = cand[order]
-        return pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].iloc[0],
-                "doc_id": uniq[sel].astype(np.int64),
-                "score": scores[sel],
-            }
-        )
+        out_q, out_id, out_s = [], [], []
+        for qid, qpdf in pdf.groupby("query_id", sort=True):
+            qpdf = qpdf.sort_values("term", kind="stable")
+            ids_parts = [decoded[t][0] for t in qpdf["term"]]
+            contrib_parts = [
+                idf * decoded[t][1] for t, idf in zip(qpdf["term"], qpdf["idf"])
+            ]
+            all_ids = np.concatenate(ids_parts)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            scores = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(scores, inv, np.concatenate(contrib_parts))
+            scores = np.round(scores, SCORE_DECIMALS)
+            sel = _topk_select(uniq, scores, k)
+            out_q.extend([qid] * sel.size)
+            out_id.extend(uniq[sel].astype(np.int64).tolist())
+            out_s.extend(scores[sel].tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_id, "score": out_s})
 
     return score_group
 
@@ -125,7 +139,7 @@ def score_queries(
         F.broadcast(qt), "term"
     )
     scorer = _make_scorer(index.k1, index.b, index.avgdl, k)
-    local = matched.groupBy("query_id", "range_id").applyInPandas(
+    local = matched.groupBy("range_id").applyInPandas(
         scorer, "query_id long, doc_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
