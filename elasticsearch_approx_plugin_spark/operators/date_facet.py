@@ -89,11 +89,26 @@ def bucket_expr(
     post_zone: str | None = None,
     pre_offset: str | int | None = None,
     post_offset: str | int | None = None,
+    factor: float | None = None,
+    key_type=None,
 ) -> Column:
-    """Timezone-aware truncation of ``key_field`` to ``interval`` buckets."""
-    # parquet TIMESTAMP_NTZ → session-TZ timestamp (session is pinned UTC,
-    # so this is an identity re-tag; unix_millis/zone fns need TIMESTAMP)
-    ts = F.col(key_field).cast("timestamp")
+    """Timezone-aware truncation of ``key_field`` to ``interval`` buckets.
+
+    ``factor`` mirrors the reference builder (``DateFacetBuilder.java``):
+    a numeric key is multiplied before being read as epoch millis
+    (e.g. 1000 for seconds-stored keys). Only meaningful for numeric
+    key columns; the reference requires a long key
+    (``DateFacetParser.java:208-221``) — we additionally accept real
+    timestamps, the idiomatic Spark type.
+    """
+    if key_type is not None and isinstance(key_type, (T.LongType, T.IntegerType)):
+        ts = F.timestamp_millis(
+            (F.col(key_field) * F.lit(factor or 1)).cast("long")
+        )
+    else:
+        # parquet TIMESTAMP_NTZ → session-TZ timestamp (session pinned UTC,
+        # an identity re-tag; unix_millis/zone fns need TIMESTAMP)
+        ts = F.col(key_field).cast("timestamp")
     pre = _offset_ms(pre_offset)
     if pre:
         ts = F.timestamp_millis(F.unix_millis(ts) + F.lit(pre))
@@ -139,6 +154,7 @@ def date_facet(
     post_zone: str | None = None,
     pre_offset: str | int | None = None,
     post_offset: str | int | None = None,
+    factor: float | None = None,
     totals: bool = False,
 ) -> DataFrame:
     """Run the date facet; returns a chronologically sorted DataFrame.
@@ -149,7 +165,10 @@ def date_facet(
     """
     if value_field and distinct_field:
         raise ValueError("value_field and distinct_field are mutually exclusive")
-    b = bucket_expr(key_field, interval, pre_zone, post_zone, pre_offset, post_offset)
+    b = bucket_expr(
+        key_field, interval, pre_zone, post_zone, pre_offset, post_offset,
+        factor, df.schema[key_field].dataType,
+    )
     df = df.filter(F.col(key_field).isNotNull()).withColumn("time", b)
 
     keys = ["time"]

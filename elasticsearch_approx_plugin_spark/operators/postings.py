@@ -194,19 +194,46 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
             done = json.load(f).get("buckets", {})
 
     pb = index.postings.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-    for bucket in range(n_buckets):
-        key = str(bucket)
-        if key in done:
-            continue
-        part = pb.filter(F.col("bucket") == bucket).drop("bucket")
-        out = os.path.join(path, "postings", f"bucket={bucket}")
-        part.write.mode("overwrite").parquet(out)
-        m = part.agg(
-            F.count("*").alias("rows"),
-            F.coalesce(F.sum("df_part"), F.lit(0)).alias("postings"),
-            F.coalesce(F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")), F.lit(0)).alias("bytes"),
-        ).collect()[0]
-        done[key] = {"rows": m["rows"], "postings": m["postings"], "bytes": m["bytes"]}
+    todo = [b for b in range(n_buckets) if str(b) not in done]
+    if todo:
+        # one dynamic-partition write for every missing bucket (completed
+        # buckets stay untouched), then one agg for the per-bucket
+        # lineage metrics — 2 jobs total instead of 2 per bucket. The
+        # build is persisted so write + metrics share the computation.
+        part = pb.filter(F.col("bucket").isin(todo)).persist()
+        try:
+            spark = part.sparkSession
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                part.write.mode("overwrite").partitionBy("bucket").parquet(
+                    os.path.join(path, "postings")
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            metrics = (
+                part.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum("df_part").alias("postings"),
+                    F.sum(
+                        F.length("doc_ids") + F.length("tfs") + F.length("dls")
+                    ).alias("bytes"),
+                )
+                .collect()
+            )
+        finally:
+            part.unpersist()
+        found = {int(m["bucket"]) for m in metrics}
+        for m in metrics:
+            done[str(int(m["bucket"]))] = {
+                "rows": m["rows"],
+                "postings": m["postings"],
+                "bytes": m["bytes"],
+            }
+        for b in todo:  # buckets with zero rows still count as completed
+            if b not in found:
+                done[str(b)] = {"rows": 0, "postings": 0, "bytes": 0}
         with open(manifest_path, "w") as f:
             json.dump({"buckets": done, "n_buckets": n_buckets}, f)
 

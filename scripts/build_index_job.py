@@ -1,0 +1,87 @@
+"""spark-submit entry point: build (or resume) a persisted inverted index.
+
+    spark-submit --py-files <zip of elasticsearch_approx_plugin_spark> \
+        scripts/build_index_job.py \
+        --input /path/to/corpus_parquet --output /path/to/index \
+        [--text-col content --tokenizer code --n-buckets 16 --range-bits 20]
+    # or --generate N to build from the deterministic synthetic corpus
+
+Resumable: re-running with the same --output skips buckets already in
+the manifest. Prints one JSON line of build metrics (files/sec, rows,
+postings, bytes) — the per-partition lineage lives in
+<output>/manifest.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.session import get_spark
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code, tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.postings import (
+    assign_doc_ids,
+    build_index,
+    write_index,
+)
+from elasticsearch_approx_plugin_spark.sources.corpus import assert_sha_ok, generate_corpus
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet corpus path")
+    ap.add_argument("--generate", type=int, help="rows of synthetic corpus instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--id-col", default=None, help="existing docID column")
+    ap.add_argument("--tokenizer", choices=["code", "ws"], default="code")
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--range-bits", type=int, default=20)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="build_index_job")
+    t0 = time.time()
+    if args.generate:
+        corpus = generate_corpus(spark, args.generate)
+    elif args.input:
+        corpus = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --generate")
+
+    if "content_sha" in corpus.columns:
+        assert_sha_ok(corpus)  # input_hint invariant, fails loudly on corruption
+
+    tok = tokenize_code if args.tokenizer == "code" else tokenize_ws
+    if args.id_col:
+        docs = corpus.select(F.col(args.id_col).alias("doc_id"), tok(args.text_col).alias("tokens"))
+    else:
+        docs = assign_doc_ids(corpus, ["repo", "path", "commit"]).select(
+            "doc_id", tok(args.text_col).alias("tokens")
+        )
+    index = build_index(docs, range_bits=args.range_bits)
+    manifest = write_index(index, args.output, n_buckets=args.n_buckets)
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "n_docs": index.n_docs,
+                "avgdl": round(index.avgdl, 3),
+                "wall_sec": round(wall, 2),
+                "files_per_sec": round(index.n_docs / wall, 1),
+                "buckets": len(manifest["buckets"]),
+                "postings_rows": sum(b["rows"] for b in manifest["buckets"].values()),
+                "postings": sum(b["postings"] for b in manifest["buckets"].values()),
+                "bytes": sum(b["bytes"] for b in manifest["buckets"].values()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

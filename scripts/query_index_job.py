@@ -1,0 +1,47 @@
+"""spark-submit entry point: BM25 top-k queries against a persisted index.
+
+    spark-submit --py-files <zip> scripts/query_index_job.py \
+        --index /path/to/index --k 10 --query "hash join" --query "btree scan"
+
+Prints one JSON line per query with its top-k (doc_id, score) and a
+summary line with QPS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from elasticsearch_approx_plugin_spark.session import get_spark
+from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
+from elasticsearch_approx_plugin_spark.operators.postings import read_index
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--query", action="append", required=True, help="space-separated terms")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="query_index_job")
+    index = read_index(spark, args.index)
+    queries = [(i, q.split()) for i, q in enumerate(args.query)]
+    t0 = time.time()
+    rows = score_queries(index, queries, args.k).collect()
+    wall = time.time() - t0
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append([r["doc_id"], r["score"]])
+    for qid, q in queries:
+        print(json.dumps({"query": " ".join(q), "topk": by_q.get(qid, [])}))
+    print(json.dumps({"n_queries": len(queries), "wall_sec": round(wall, 3),
+                      "qps": round(len(queries) / wall, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Reference-parity extras: numeric key + factor, multi-valued (array)
+fields in every role, value-mode counting, post_zone label shift."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.operators.date_facet import date_facet
+
+
+@pytest.fixture(scope="module")
+def multival(spark):
+    # ts at second resolution stored as LONG SECONDS (factor=1000 case),
+    # multi-valued tokens + multi-valued slices per doc
+    rows = [
+        (0, 3600, ["a", "b", "b"], ["x"]),
+        (1, 3600 + 60, ["a"], ["x", "y"]),
+        (2, 7200, ["c", None], ["y"]),
+        (3, 7200 + 1, [], ["x"]),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, ts_sec long, vals array<string>, slices array<string>"
+    )
+
+
+def test_factor_long_key(multival):
+    got = {(r["time"].isoformat(), r["count"]) for r in
+           date_facet(multival, "ts_sec", "hour", factor=1000).collect()}
+    assert got == {("1970-01-01T01:00:00", 2), ("1970-01-01T02:00:00", 2)}
+
+
+def test_value_mode_counts_occurrences(multival):
+    # value mode: one count per VALUE occurrence (README.md:46-49 intended
+    # semantics, not the reference's first-timestamp quirk)
+    got = {(r["time"].hour, r["count"]) for r in
+           date_facet(multival, "ts_sec", "hour", factor=1000, value_field="vals").collect()}
+    # hour 1: doc0 3 vals + doc1 1 val = 4; hour 2: doc2 1 non-null val
+    assert got == {(1, 4), (2, 1)}
+
+
+def test_multivalued_slice(multival):
+    got = {(r["time"].hour, r["term"], r["count"]) for r in
+           date_facet(multival, "ts_sec", "hour", factor=1000, slice_field="slices").collect()}
+    assert got == {(1, "x", 2), (1, "y", 1), (2, "y", 1), (2, "x", 1)}
+
+
+def test_multivalued_distinct(multival):
+    got = {(r["time"].hour, r["distinct_count"]) for r in
+           date_facet(multival, "ts_sec", "hour", factor=1000,
+                      distinct_field="vals", distinct_method="exact").collect()}
+    # hour1 distinct {a,b}; hour2 distinct {c}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_post_zone_shifts_labels_only(spark, sf_dir_med):
+    ev = spark.read.parquet(f"{sf_dir_med}/events.parquet")
+    plain = date_facet(ev, "ts", "day").collect()
+    shifted = date_facet(ev, "ts", "day", post_zone="+02:00").collect()
+    assert [r["count"] for r in plain] == [r["count"] for r in shifted]
+    for a, b in zip(plain, shifted):
+        assert (b["time"] - a["time"]).total_seconds() == 7200
