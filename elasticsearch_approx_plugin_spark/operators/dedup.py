@@ -161,11 +161,13 @@ def minhash_lsh_dedup(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard over shingle sets
+    # verify candidates with exact Jaccard over shingle sets; the
+    # exploded shingle table feeds two joins + the size agg → persist
     sh = (
         shingles(df.select(id_col, tokens_col), tokens_col, n)
         .select(F.col(id_col).alias("id"), F.explode(F.col("shingles")).alias("shingle"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     common = (
