@@ -132,6 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["date_facet_hour_offset"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "hour", pre_offset="+30m"
     ).select(_ms(), F.col("count").alias("cnt"))
+    # slice by a JSON-extracted field (scalar-function coverage)
+    q["date_facet_json_slice"] = lambda spark, sf: date_facet(
+        _events(spark, sf).withColumn("k", F.get_json_object("props", "$.k")),
+        "ts", "day", slice_field="k",
+    ).select(_ms(), "term", F.col("count").alias("cnt"))
 
     # -- distinct counting (reference ops 7, 9, 10) ------------------------
     q["distinct_global"] = lambda spark, sf: sketch_agg(
@@ -330,6 +335,8 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_hour_offset": "SELECT epoch_ms(date_trunc('hour', ts + INTERVAL '30' MINUTE)) "
         "AS time_ms, count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_json_slice": f"SELECT {ev_day} AS time_ms, "
+        "json_extract_string(props, '$.k') AS term, count(*) AS cnt FROM events GROUP BY 1, 2",
         "distinct_global": "SELECT count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
         "FROM events",
         "term_list_text": f"WITH tok AS ({_TOK}) SELECT DISTINCT term FROM tok",

@@ -80,6 +80,21 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     timings["bm25_topk_50q"] = round(t, 3)
     extras["bm25_qps"] = round(N_BM25_QUERIES / t, 2)
 
+    # warm batched throughput: fixed per-batch cost amortized over 400
+    # queries (the serving shape at scale)
+    terms400 = [
+        r["term"]
+        for r in index.dictionary.orderBy(F.desc("df"), "term").limit(200).collect()
+    ]
+    rng400 = np.random.default_rng(7)
+    qs400 = [
+        (i, [terms400[int(j)] for j in rng400.integers(0, len(terms400), 1 + i % 4)])
+        for i in range(400)
+    ]
+    t, _ = _timed(lambda: score_queries(index, qs400, 10).count())
+    timings["bm25_topk_400q_warm"] = round(t, 3)
+    extras["bm25_qps_batch400"] = round(400 / t, 2)
+
     t, _ = _timed(
         lambda: date_facet(
             events, "ts", "hour", distinct_field="user_id",

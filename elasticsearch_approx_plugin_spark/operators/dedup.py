@@ -170,9 +170,15 @@ def minhash_lsh_dedup(
         .persist()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # verify only candidate docs: semi-join slashes the shingle table
+    # before the pairwise common-count join (candidates ≪ corpus)
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_ids), "id", "left_semi")
     common = (
-        cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
+        cand.join(sh_c.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(sh_c.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -44,6 +45,30 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--range-bits", type=int, default=20)
     args = ap.parse_args()
+
+    # resume short-circuit: a complete manifest means nothing to do —
+    # report its metrics without spinning up a build
+    mpath = os.path.join(args.output, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            man = json.load(f)
+        if len(man.get("buckets", {})) == man.get("n_buckets") == args.n_buckets:
+            with open(os.path.join(args.output, "meta.json")) as f:
+                meta = json.load(f)
+            print(
+                json.dumps(
+                    {
+                        "resumed": True,
+                        "n_docs": meta["n_docs"],
+                        "avgdl": round(meta["avgdl"], 3),
+                        "buckets": len(man["buckets"]),
+                        "postings_rows": sum(b["rows"] for b in man["buckets"].values()),
+                        "postings": sum(b["postings"] for b in man["buckets"].values()),
+                        "bytes": sum(b["bytes"] for b in man["buckets"].values()),
+                    }
+                )
+            )
+            return
 
     spark = get_spark(app_name="build_index_job")
     t0 = time.time()
