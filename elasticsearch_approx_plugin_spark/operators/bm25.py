@@ -104,11 +104,22 @@ def score_queries(
     index: InvertedIndex,
     queries: list[tuple[int, list[str]]],
     k: int = 10,
+    prune: bool = False,
 ) -> DataFrame:
     """Score a batch of (query_id, terms) → (query_id, doc_id, score, rank).
 
     The query-term table is tiny → broadcast; the postings scan is
     filtered by ``term IN (...)`` (pushed to parquet row groups).
+
+    ``prune=True`` enables the block-max skip (WAND's safe pruning at
+    doc-range granularity): every (query, range) has the JVM-computed
+    upper bound ``Σ idf·max_tfnorm`` — phase A scores only each query's
+    highest-bound range to establish a threshold τ (its k-th score);
+    phase B decodes only ranges with ub > τ. Safe: a skipped range
+    cannot contain a top-k doc by construction, so results are
+    identical to the exhaustive path (asserted in tests). Worth it when
+    ranges are many and selective (large corpora / rare terms); the
+    exhaustive path has lower latency on small indexes, hence the flag.
     """
     spark = index.postings.sparkSession
     terms = sorted({t for _, ts in queries for t in ts})
@@ -139,15 +150,74 @@ def score_queries(
         F.broadcast(qt), "term"
     )
     scorer = _make_scorer(index.k1, index.b, index.avgdl, k)
-    local = matched.groupBy("range_id").applyInPandas(
-        scorer, "query_id long, doc_id long, score double"
-    )
+    out_schema = "query_id long, doc_id long, score double"
+
+    if prune:
+        matched = matched.persist()
+        # upper bound per (query, range) — pure Catalyst, no decode
+        bounds = matched.groupBy("query_id", "range_id").agg(
+            F.sum(F.col("idf") * F.col("max_tfnorm")).alias("ub")
+        )
+        wb = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("range_id"))
+        best = bounds.withColumn("r", F.row_number().over(wb)).filter("r = 1")
+        phase_a = (
+            matched.join(
+                F.broadcast(best.select("query_id", "range_id")),
+                ["query_id", "range_id"],
+                "left_semi",
+            )
+            .groupBy("range_id")
+            .applyInPandas(scorer, out_schema)
+        )
+        # τ per query = k-th best score of its densest range (tiny collect)
+        wt = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        tau_rows = (
+            phase_a.withColumn("r", F.row_number().over(wt))
+            .filter(F.col("r") == k)
+            .select("query_id", "score")
+            .collect()
+        )
+        tau = {r["query_id"]: r["score"] for r in tau_rows}
+        spark2 = matched.sparkSession
+        tau_df = F.broadcast(
+            spark2.createDataFrame(
+                [(qid, tau.get(qid, float("-inf"))) for qid, _ in queries],
+                "query_id long, tau double",
+            )
+        )
+        # phase B: only ranges whose bound can reach τ (skip the rest
+        # without ever decoding a varint). >= not >: a range with
+        # ub == τ can still hold docs tying at τ that win the doc_id
+        # tie-break (including the range that produced τ itself).
+        # Phase A ranges re-score — idempotent deterministic scores.
+        # τ carries SCORE_DECIMALS rounding (can exceed the exact bound
+        # by half an ulp of the rounding grid when a doc attains the
+        # bound exactly) → compare with that slack; only over-includes.
+        slack = 10.0 ** (-SCORE_DECIMALS)
+        survivors = (
+            bounds.join(tau_df, "query_id").filter(
+                F.col("ub") >= F.col("tau") - F.lit(slack)
+            )
+        )
+        local = (
+            matched.join(
+                F.broadcast(survivors.select("query_id", "range_id")),
+                ["query_id", "range_id"],
+                "left_semi",
+            )
+            .groupBy("range_id")
+            .applyInPandas(scorer, out_schema)
+        )
+    else:
+        local = matched.groupBy("range_id").applyInPandas(scorer, out_schema)
+
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    result = (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+    return result
 
 
 def bm25_topk(index: InvertedIndex, terms: Iterable[str], k: int = 10) -> DataFrame:

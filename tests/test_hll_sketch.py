@@ -114,3 +114,53 @@ def test_serialization_roundtrip_all_states():
         assert rt.merge(other).cardinality() == pytest.approx(
             CountThenEstimate.from_bytes(st.to_bytes()).merge(other).cardinality()
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=2, max_size=6),
+    st.randoms(use_true_random=False),
+)
+def test_merge_order_invariance_property(chunk_sizes, rnd):
+    """HLL register merges are associative+commutative (max-semilattice):
+    ANY merge order yields byte-identical registers — the property the
+    reference's shard reduce relies on (CountThenEstimateBytes merge)."""
+    states = []
+    for i, n in enumerate(chunk_sizes):
+        s = CountThenEstimate(threshold=0, p=10)
+        s.offer_hashes(_hashes(n, seed=100 + i))
+        states.append(s)
+    order = list(range(len(states)))
+    rnd.shuffle(order)
+
+    def merge_all(idxs):
+        acc = CountThenEstimate.from_bytes(states[idxs[0]].to_bytes())
+        for i in idxs[1:]:
+            acc = acc.merge(CountThenEstimate.from_bytes(states[i].to_bytes()))
+        return acc
+
+    a = merge_all(list(range(len(states))))
+    b = merge_all(order)
+    assert a.to_bytes() == b.to_bytes()  # registers byte-identical
+    assert a.count == b.count
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=200), min_size=2, max_size=5))
+def test_exact_merge_equals_bulk_property(chunk_sizes):
+    """Exact-mode merging of disjoint chunks == offering everything to
+    one state (set-union semantics, threshold -1)."""
+    bulk = CountThenEstimate(threshold=-1, p=10)
+    merged = CountThenEstimate(threshold=-1, p=10)
+    for i, n in enumerate(chunk_sizes):
+        h = _hashes(n, seed=200 + i)
+        bulk.offer_hashes(h)
+        part = CountThenEstimate(threshold=-1, p=10)
+        part.offer_hashes(h)
+        merged = merged.merge(part)
+    assert merged.cardinality() == bulk.cardinality()
+    assert merged.count == bulk.count

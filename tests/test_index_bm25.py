@@ -107,6 +107,32 @@ def test_rank_identical_across_parallelism(docs, index):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_blockmax_prune_equals_exhaustive(index, sf_dir):
+    """WAND-style range pruning is SAFE: identical results to the
+    exhaustive path (and therefore to the oracle)."""
+    pruned = [
+        tuple(r)
+        for r in score_queries(index, QUERIES, K, prune=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert pruned == _oracle(sf_dir, QUERIES, K)
+    # k=1 exercises the τ-from-densest-range path hardest
+    p1 = [
+        tuple(r)
+        for r in score_queries(index, QUERIES, 1, prune=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    e1 = [
+        tuple(r)
+        for r in score_queries(index, QUERIES, 1, prune=False)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert p1 == e1
+
+
 def test_write_read_resume(index, spark, tmp_path):
     path = str(tmp_path / "idx")
     m1 = write_index(index, path, n_buckets=4)
