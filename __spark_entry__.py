@@ -37,6 +37,7 @@ from elasticsearch_approx_plugin_spark.operators.text_analysis import (
     fingerprint,
     lang_id,
     token_count,
+    token_count_bpe,
 )
 from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
 
@@ -138,6 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts", "day", slice_field="k",
     ).select(_ms(), "term", F.col("count").alias("cnt"))
 
+    q["date_facet_sliced_distinct"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", slice_field="event_type",
+        distinct_field="user_id", distinct_method="exact",
+    ).select(_ms(), "term", F.col("count").alias("cnt"),
+             F.col("distinct_count").alias("distinct_cnt"))
+
     # -- distinct counting (reference ops 7, 9, 10) ------------------------
     q["distinct_global"] = lambda spark, sf: sketch_agg(
         _events(spark, sf), [], "user_id", exact_threshold=-1
@@ -188,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- text analysis -------------------------------------------------------
     q["token_count"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", token_count("text").alias("n_tokens")
+    )
+    q["token_count_bpe"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", token_count_bpe("text").alias("n_bpe_tokens")
     )
     q["fingerprint"] = lambda spark, sf: fingerprint(_docs(spark, sf), "text", "doc_id")
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf), "text", "doc_id").select(
@@ -337,6 +347,9 @@ def oracle_sql() -> dict[str, str]:
         "AS time_ms, count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_json_slice": f"SELECT {ev_day} AS time_ms, "
         "json_extract_string(props, '$.k') AS term, count(*) AS cnt FROM events GROUP BY 1, 2",
+        "date_facet_sliced_distinct": f"SELECT {ev_day} AS time_ms, event_type AS term, "
+        "count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
+        "FROM events GROUP BY 1, 2",
         "distinct_global": "SELECT count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
         "FROM events",
         "term_list_text": f"WITH tok AS ({_TOK}) SELECT DISTINCT term FROM tok",
@@ -357,6 +370,9 @@ FROM scored QUALIFY rank <= 10
 """,
         "token_count": "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
         "t -> t <> '')) AS n_tokens FROM documents",
+        "token_count_bpe": "SELECT doc_id, "
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens "
+        "FROM documents",
         "fingerprint": "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
         "list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))), ' ')) AS fingerprint "
         "FROM documents",

@@ -194,6 +194,37 @@ def minhash_lsh_dedup(
     )
 
 
+def resolve_keep_list(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Turn near-dup pairs into a keep/drop decision: connected
+    components over the pair graph, keep the minimum id per component.
+
+    The pair set is sparse relative to the corpus (that's the point of
+    near-dup detection), so the union-find runs driver-side over the
+    collected pairs — the corpus itself is only touched by one
+    broadcast anti-join. Returns the surviving rows of ``df``.
+
+    At extreme pair counts swap the driver union-find for iterative
+    label propagation (min-id broadcast join until fixpoint); the
+    surrounding plan is unchanged.
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs.select("id_a", "id_b").collect():
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drops = [x for x in parent if find(x) != x]
+    spark = df.sparkSession
+    drop_df = spark.createDataFrame([(d,) for d in drops] or [(None,)], f"{id_col} long")
+    return df.join(F.broadcast(drop_df.where(F.col(id_col).isNotNull())), id_col, "left_anti")
+
+
 def simhash(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc as ONE hash aggregate (no UDF).
 

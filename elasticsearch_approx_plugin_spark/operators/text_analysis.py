@@ -31,6 +31,17 @@ def token_count(text_col: str) -> Column:
     return F.size(tokenize_ws(text_col))
 
 
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_count_bpe(text_col: str) -> Column:
+    """BPE-ish token count: letter runs, digit runs, and individual
+    punctuation each count as a token (the usual pre-tokenizer split a
+    byte-pair vocabulary sees). Same RE2 pattern works in the DuckDB
+    oracle, so this stays exactly cross-checkable."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+
+
 def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / word-shape features + a
     composite quality score in [0, 1]."""

@@ -134,3 +134,26 @@ def test_simhash_near_dups_close(corpus):
     for i in range(N_NEAR_DUP):
         ham = bin((sig[i] ^ sig[i + 2000]) & (2**64 - 1)).count("1")
         assert ham <= 8  # one dropped token barely moves the signature
+
+
+def test_resolve_keep_list(corpus, spark):
+    from elasticsearch_approx_plugin_spark.operators.dedup import resolve_keep_list
+
+    df, _ = corpus
+    pairs = spark.createDataFrame(
+        [(0, 1000), (1, 1001), (1000, 2000)], "id_a long, id_b long"
+    )
+    kept = resolve_keep_list(df, pairs, "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # component {0,1000,2000} keeps 0; {1,1001} keeps 1
+    assert 0 in kept_ids and 1 in kept_ids
+    assert {1000, 1001, 2000}.isdisjoint(kept_ids)
+    assert kept.count() == df.count() - 3
+
+
+def test_resolve_keep_list_no_pairs(corpus, spark):
+    from elasticsearch_approx_plugin_spark.operators.dedup import resolve_keep_list
+
+    df, _ = corpus
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert resolve_keep_list(df, empty, "doc_id").count() == df.count()

@@ -82,3 +82,19 @@ def test_fingerprint_matches_duckdb(docs, sf_dir):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_token_count_bpe_matches_oracle(docs, sf_dir):
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import token_count_bpe
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count_bpe("text").alias("n")).collect()
+    }
+    exp = dict(
+        duckdb.sql(
+            f"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                FROM read_parquet('{sf_dir}/documents.parquet')"""
+        ).fetchall()
+    )
+    assert got == exp
