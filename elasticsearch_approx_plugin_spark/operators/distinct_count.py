@@ -51,15 +51,24 @@ def _partial_states(group_cols: list[str], threshold: int, rsd: float):
                     keys_seen[key] = ()
                 st.offer_hashes(hashes)
                 continue
-            codes, uniques = pd.factorize(
-                pd.Series(list(zip(*[pdf[c] for c in group_cols]))), sort=False
-            )
-            for gi, key in enumerate(uniques):
+            if len(group_cols) == 1:
+                codes, uniques = pd.factorize(pdf[group_cols[0]], sort=False)
+                keys = [(u,) for u in uniques]
+            else:
+                codes, uniques = pd.factorize(
+                    pd.Series(list(zip(*[pdf[c] for c in group_cols]))), sort=False
+                )
+                keys = list(uniques)
+            # sort-and-slice: O(N log N) once, vs O(groups × N) masking
+            order = np.argsort(codes, kind="stable")
+            sorted_h = hashes[order]
+            bounds = np.searchsorted(codes[order], np.arange(len(keys) + 1))
+            for gi, key in enumerate(keys):
                 st = states.get(key)
                 if st is None:
                     st = states[key] = CountThenEstimate(threshold, rsd)
                     keys_seen[key] = key
-                st.offer_hashes(hashes[codes == gi])
+                st.offer_hashes(sorted_h[bounds[gi] : bounds[gi + 1]])
         if states:
             rows = {c: [keys_seen[k][i] for k in states] for i, c in enumerate(group_cols)}
             rows[_STATE_COL] = [st.to_bytes() for st in states.values()]
@@ -69,15 +78,31 @@ def _partial_states(group_cols: list[str], threshold: int, rsd: float):
 
 
 def _merge_states(group_cols: list[str]):
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = CountThenEstimate.from_bytes(pdf[_STATE_COL].iloc[0])
-        for b in pdf[_STATE_COL].iloc[1:]:
-            st = st.merge(CountThenEstimate.from_bytes(b))
-        out = {c: [pdf[c].iloc[0]] for c in group_cols}
-        out["count"] = [st.count]
-        out["distinct_count"] = [st.cardinality()]
-        out["tipped"] = [st.tipped]
-        return pd.DataFrame(out)
+    """Partition-at-a-time merge: after a hash repartition on the group
+    key every key's partial states share a partition, so ONE Python
+    call merges every group in that partition (dict of states across
+    Arrow batches) — per-group applyInPandas overhead would dominate in
+    the many-tiny-buckets regime (e.g. minute intervals)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, CountThenEstimate] = {}
+        for pdf in batches:
+            keys = (
+                list(zip(*[pdf[c] for c in group_cols]))
+                if group_cols
+                else [()] * len(pdf)
+            )
+            for key, raw in zip(keys, pdf[_STATE_COL]):
+                st = CountThenEstimate.from_bytes(bytes(raw))
+                prev = states.get(key)
+                states[key] = st if prev is None else prev.merge(st)
+        if not states:
+            return
+        out = {c: [k[i] for k in states] for i, c in enumerate(group_cols)}
+        out["count"] = [s.count for s in states.values()]
+        out["distinct_count"] = [s.cardinality() for s in states.values()]
+        out["tipped"] = [s.tipped for s in states.values()]
+        yield pd.DataFrame(out)
 
     return fn
 
@@ -121,13 +146,11 @@ def sketch_agg(
     )
     def _global(p: DataFrame) -> DataFrame:
         g_schema = T.StructType(final_schema.fields[len(group_cols) :])
-        return p.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
-            _merge_states([]), g_schema
-        )
+        return p.coalesce(1).mapInPandas(_merge_states([]), g_schema)
 
     if not group_cols:
         return _global(partials)
-    grouped = partials.groupBy(*group_cols).applyInPandas(
+    grouped = partials.repartition(*group_cols).mapInPandas(
         _merge_states(group_cols), final_schema
     )
     if not totals:
