@@ -50,6 +50,35 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
+def _varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = values.astype(np.uint64, copy=False)
+    n = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        n += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return n
+
+
+def varint_encode_grouped(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode MANY concatenated groups in one vectorized pass.
+
+    ``starts`` are the row indexes where each group begins (sorted,
+    starts[0] == 0). The whole value array is LEB128-encoded once; the
+    flat buffer is then sliced at per-group byte boundaries — no
+    per-group numpy calls, which is what makes million-group posting
+    encodes run at memory bandwidth.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    buf = varint_encode(v)
+    offs = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(_varint_lengths(v), out=offs[1:])
+    bounds = offs[np.append(starts, v.size)]
+    mv = memoryview(buf)
+    return [bytes(mv[bounds[i] : bounds[i + 1]]) for i in range(len(starts))]
+
+
 def delta_varint_encode(sorted_values: np.ndarray) -> bytes:
     """Delta-then-varint encode a sorted uint64 array (first value absolute)."""
     v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
