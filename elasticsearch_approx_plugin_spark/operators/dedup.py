@@ -137,7 +137,19 @@ def minhash_lsh_dedup(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, tokens_col, id_col, num_hashes, n)
+    # one shingle pass shared by the signature path and the verify path
+    shd = shingles(df.select(id_col, tokens_col), tokens_col, n).filter(
+        F.size("shingles") > 0
+    ).persist()
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    # banded feeds BOTH sides of the self-join → persist, or the whole
+    # signature pipeline evaluates twice per downstream action
+    sigs = shd.select(F.col(id_col).alias("id"), sig.alias("sig"))
     banded = sigs.select(
         "id",
         F.explode(
@@ -153,19 +165,19 @@ def minhash_lsh_dedup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket").persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        .persist()  # reused by cand_ids, the semi-join, and the verify join
     )
     # verify candidates with exact Jaccard over shingle sets; the
     # exploded shingle table feeds two joins + the size agg → persist
     sh = (
-        shingles(df.select(id_col, tokens_col), tokens_col, n)
-        .select(F.col(id_col).alias("id"), F.explode(F.col("shingles")).alias("shingle"))
+        shd.select(F.col(id_col).alias("id"), F.explode(F.col("shingles")).alias("shingle"))
         .distinct()
         .persist()
     )
