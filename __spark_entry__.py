@@ -25,6 +25,7 @@ from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
 from elasticsearch_approx_plugin_spark.operators.date_facet import date_facet
 from elasticsearch_approx_plugin_spark.operators.dedup import (
     dedup_exact,
+    embedding_cosine_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash,
@@ -170,6 +171,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.5
     )
     q["simhash"] = lambda spark, sf: simhash(_tokens(spark, sf), "tokens", "doc_id")
+    q["embedding_cosine_dedup"] = lambda spark, sf: embedding_cosine_dedup(
+        spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id < 150"),
+        threshold=0.3,
+        exhaustive=True,
+    )
+    q["embedding_cosine_dedup_lsh"] = lambda spark, sf: embedding_cosine_dedup(
+        spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.3,
+        n_planes=4, n_tables=8,
+    )
 
     # -- similarity search --------------------------------------------------
     def _queries_vecs(spark, sf):
@@ -357,6 +367,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": "SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)",
         "ngram_jaccard": _SHINGLES,
+        "embedding_cosine_dedup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 150 AND b.vec_id < 150
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+""",
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
 scored AS (

@@ -287,3 +287,81 @@ def simhash_candidates(sig_df: DataFrame) -> DataFrame:
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+
+
+def embedding_cosine_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale path (default): multi-table random-hyperplane LSH proposes
+    candidate pairs (same bucket in ANY table), exact cosine verifies —
+    precision exact, recall set by (n_planes, n_tables); high-cosine
+    pairs (the dedup regime) collide with probability
+    1-(1-(1-θ/π)^planes)^tables → ≈1 for θ→0. ``exhaustive=True``
+    switches to the full O(n²) self-join (the small-data oracle path).
+    """
+    from .ann import hyperplane_signature
+
+    dim = None
+    v = emb.select(id_col, vec_col)
+    if exhaustive:
+        cand = (
+            v.alias("x")
+            .join(v.alias("y"), F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"x.{vec_col}").alias("va"),
+                F.col(f"y.{id_col}").alias("id_b"),
+                F.col(f"y.{vec_col}").alias("vb"),
+            )
+        )
+    else:
+        dim = len(emb.select(vec_col).first()[0])
+        banded = v.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_signature(vec_col, dim, n_planes, seed + 7919 * t).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_col, vec_col, "tb.tbl", "tb.bucket").persist()
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["tbl", "bucket"])
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"x.{vec_col}").alias("va"),
+                F.col(f"y.{id_col}").alias("id_b"),
+                F.col(f"y.{vec_col}").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    dot = F.aggregate(
+        F.zip_with(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        cand.withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

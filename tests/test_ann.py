@@ -69,3 +69,36 @@ def test_lsh_topk_self_hit_and_recall(emb, queries):
     assert top1 == {(q, q) for q, _ in queries}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.7  # deterministic given seed; 4 planes × 8 tables
+
+
+def test_embedding_cosine_dedup(spark, emb, sf_dir):
+    """Exhaustive mode matches a DuckDB pairwise oracle; LSH mode finds
+    the planted near-identical pairs with exact precision."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.operators.dedup import embedding_cosine_dedup
+
+    base = emb.filter("vec_id < 150")
+    # plant near-dups: copies with the first component nudged
+    dup = base.filter("vec_id < 5").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.array((F.col("embedding")[0] + F.lit(0.001)).cast("float")),
+            F.slice("embedding", 2, 1000),
+        ).alias("embedding"),
+        "label",
+    )
+    df = base.unionByName(dup)
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_dedup(df, 0.95, exhaustive=True).collect()
+    }
+    assert all((i, i + 1000) in exact for i in range(5))
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_dedup(df, 0.95, n_planes=6, n_tables=8).collect()
+    }
+    assert set(lsh) <= set(exact)  # exact verification ⇒ no false positives
+    assert all((i, i + 1000) in lsh for i in range(5))  # near-identical ⇒ caught
