@@ -145,3 +145,32 @@ def test_write_read_resume(index, spark, tmp_path):
     orig = score_queries(index, QUERIES, K).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in orig]
     assert loaded.n_docs == index.n_docs
+
+
+def test_assign_doc_ids_dense_and_partitioning_invariant(spark, sf_dir):
+    from elasticsearch_approx_plugin_spark.operators.postings import assign_doc_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    a = assign_doc_ids(docs.drop("doc_id"), ["source", "text"], n_buckets=8)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    assert ids_a == list(range(docs.count()))  # dense 0..n-1
+    b = assign_doc_ids(docs.drop("doc_id").repartition(11), ["source", "text"], n_buckets=8)
+    map_a = {(r["source"], r["text"]): r["doc_id"] for r in a.collect()}
+    map_b = {(r["source"], r["text"]): r["doc_id"] for r in b.collect()}
+    assert map_a == map_b  # identical at any input partitioning
+
+
+def test_persisted_index_prunes_buckets(index, spark, tmp_path):
+    from elasticsearch_approx_plugin_spark.operators.postings import write_index, read_index
+
+    path = str(tmp_path / "idx_prune")
+    write_index(index, path, n_buckets=8)
+    loaded = read_index(spark, path)
+    q = score_queries(loaded, [(0, ["hash", "join"])], 5)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [bucket" in plan  # bucket dirs pruned at scan
+    assert q.count() > 0
