@@ -14,6 +14,11 @@ Conventions shared by both sides so value-hashes match:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent import
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +56,28 @@ BM25_QUERIES = [
 K = 10
 
 _INDEX_CACHE: dict[str, object] = {}
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) so pandas/Arrow UDFs
+    unpickle no matter what cwd the driver process was launched from —
+    the runtime equivalent of ``spark-submit --py-files``."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "eaps_pkg"),
+        "zip",
+        root_dir=here,
+        base_dir="elasticsearch_approx_plugin_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +104,7 @@ def _ms(col: str = "time") -> F.Column:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_shipped(spark)
     idx = build_index(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
             "doc_id", tokenize_ws("text").alias("tokens")
@@ -92,6 +120,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    raw = _raw_queries()
+
+    def _wrap(f):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return f(spark, sf)
+
+        return run
+
+    return {k: _wrap(f) for k, f in raw.items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # -- inverted index + BM25 (north rule core) --------------------------
