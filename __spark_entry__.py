@@ -56,28 +56,13 @@ BM25_QUERIES = [
 K = 10
 
 _INDEX_CACHE: dict[str, object] = {}
-_SHIPPED: set[int] = set()
-
-
 def _ensure_shipped(spark: SparkSession) -> None:
-    """Ship the package to executors (addPyFile) so pandas/Arrow UDFs
-    unpickle no matter what cwd the driver process was launched from —
-    the runtime equivalent of ``spark-submit --py-files``."""
-    key = id(spark.sparkContext)
-    if key in _SHIPPED:
-        return
-    import shutil
-    import tempfile
+    """The driver creates its own SparkSession, so ship the package to
+    its executors here (``addPyFile``) — pandas/Arrow UDFs must
+    unpickle on workers no matter what cwd the harness launched from."""
+    from elasticsearch_approx_plugin_spark.session import ship_package
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    zip_path = shutil.make_archive(
-        os.path.join(tempfile.gettempdir(), "eaps_pkg"),
-        "zip",
-        root_dir=here,
-        base_dir="elasticsearch_approx_plugin_spark",
-    )
-    spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED.add(key)
+    ship_package(spark)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

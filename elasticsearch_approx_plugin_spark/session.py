@@ -49,4 +49,29 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executors (``addPyFile``), so
+    pandas/Arrow UDFs unpickle on workers regardless of the launch
+    cwd — the runtime analog of ``spark-submit --py-files``."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), f"eaps_pkg_{os.getpid()}"),
+        "zip",
+        root_dir=os.path.dirname(here),
+        base_dir=os.path.basename(here),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(app)

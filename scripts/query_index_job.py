@@ -11,10 +11,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from elasticsearch_approx_plugin_spark.session import get_spark
 from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries

@@ -6,12 +6,13 @@ value multiset. Usage: python scripts/verify_entry.py [sf_dir]"""
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from elasticsearch_approx_plugin_spark.session import get_spark
