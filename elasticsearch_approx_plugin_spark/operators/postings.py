@@ -20,8 +20,8 @@ Shape of the index (all ordinary DataFrames / parquet tables):
 Build is two shuffles, both keyed fine-grained (never by bare term):
   1. ``explode → groupBy(term, doc_id, dl).count()`` — tf counting
      with map-side partial aggregation;
-  2. ``groupBy(term, range_id).applyInPandas`` — numpy varint
-     encoding per Arrow batch.
+  2. ``repartition(term, range_id) → mapInArrow`` — vectorized
+     partition-at-a-time varint encoding (see ``_encode_partition``).
 At 100 TB both shuffles scale linearly: keys are (term × doc) and
 (term × range) — cardinality grows with data, no hot key exceeds a
 range span (2^range_bits docs).
@@ -38,10 +38,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
