@@ -230,10 +230,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- text analysis -------------------------------------------------------
     q["token_count"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", token_count("text").alias("n_tokens")
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
     q["token_count_bpe"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", token_count_bpe("text").alias("n_bpe_tokens")
+        "doc_id", token_count_bpe("text").cast("long").alias("n_bpe_tokens")
     )
     q["fingerprint"] = lambda spark, sf: fingerprint(_docs(spark, sf), "text", "doc_id")
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf), "text", "doc_id").select(
@@ -241,7 +241,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["quality_features"] = lambda spark, sf: add_quality_features(
         _docs(spark, sf), "text"
-    ).select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score")
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
 
     # -- generic OLAP parity (scan→filter→agg→sort pipeline) -----------------
     q["lineitem_pricing_summary"] = lambda spark, sf: (
@@ -289,7 +295,7 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY 1, 2
 )
-SELECT query_id, doc_id, round(score, 6) AS score,
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
 FROM scores QUALIFY rank <= {K}
 """

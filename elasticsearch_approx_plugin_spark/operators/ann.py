@@ -85,7 +85,7 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
@@ -178,7 +178,7 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )

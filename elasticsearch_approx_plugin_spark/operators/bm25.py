@@ -213,7 +213,7 @@ def score_queries(
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     result = (
-        local.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )

@@ -19,6 +19,18 @@ from elasticsearch_approx_plugin_spark.session import get_spark
 from elasticsearch_approx_plugin_spark.sources.tables import TABLE_NAMES
 
 
+_TYPE_MAP = {
+    "bigint": "i64", "long": "i64", "int": "i32", "integer": "i32",
+    "double": "f64", "float": "f32", "string": "str", "varchar": "str",
+    "boolean": "bool", "binary": "bytes", "blob": "bytes",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+
+def _norm_type(t: str) -> str:
+    return _TYPE_MAP.get(t.strip().lower(), t.strip().lower())
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -70,6 +82,14 @@ def main():
         if sorted(cols) != sorted(ocols):
             failures.append((name, f"schema {sorted(cols)} != {sorted(ocols)}"))
             print(f"FAIL  {name}: schema {sorted(cols)} != {sorted(ocols)}")
+            continue
+        stypes = {f.name: _norm_type(f.dataType.simpleString()) for f in df.schema.fields}
+        otypes = {c: _norm_type(str(t)) for c, t in zip(ores.columns, ores.types)}
+        mismatched = {c for c in stypes if stypes[c] != otypes.get(c)}
+        if mismatched:
+            detail = {c: (stypes[c], otypes.get(c)) for c in mismatched}
+            failures.append((name, f"dtype mismatch {detail}"))
+            print(f"FAIL  {name}: dtype mismatch {detail}")
             continue
         a, b = norm_rows(cols, [tuple(r) for r in rows]), norm_rows(ocols, orows)
         if len(a) != len(b):
