@@ -58,3 +58,49 @@ def test_post_zone_shifts_labels_only(spark, sf_dir_med):
     assert [r["count"] for r in plain] == [r["count"] for r in shifted]
     for a, b in zip(plain, shifted):
         assert (b["time"] - a["time"]).total_seconds() == 7200
+
+
+def test_quarter_year_week_intervals(spark, sf_dir_med):
+    """Calendar intervals the reference supports beyond day/hour/minute
+    (DateFacetParser.java:47-63): quarter (Joda quarter), year (real
+    year — NOT the yearOfCentury quirk A#2), week."""
+    import duckdb
+
+    ev = spark.read.parquet(f"{sf_dir_med}/events.parquet")
+    for interval in ("quarter", "year", "week"):
+        got = {
+            (r["time"], r["count"])
+            for r in date_facet(ev, "ts", interval).collect()
+        }
+        exp = set(
+            duckdb.sql(
+                f"SELECT date_trunc('{interval}', ts)::TIMESTAMP AS time, count(*) "
+                f"FROM read_parquet('{sf_dir_med}/events.parquet') GROUP BY 1"
+            ).fetchall()
+        )
+        assert got == exp, interval
+
+
+def test_post_offset_shifts_labels(spark, sf_dir_med):
+    ev = spark.read.parquet(f"{sf_dir_med}/events.parquet")
+    plain = date_facet(ev, "ts", "day").collect()
+    shifted = date_facet(ev, "ts", "day", post_offset="+90m").collect()
+    assert [r["count"] for r in plain] == [r["count"] for r in shifted]
+    for a, b in zip(plain, shifted):
+        assert (b["time"] - a["time"]).total_seconds() == 5400
+
+
+def test_value_and_slice_combined(multival):
+    """value_field + slice_field: value occurrences counted per slice
+    label (intended cross-count semantics README.md:46-49 — the
+    reference zips instead, quirk A#4, not replicated)."""
+    got = {
+        (r["time"].hour, r["term"], r["count"])
+        for r in date_facet(
+            multival, "ts_sec", "hour", factor=1000,
+            value_field="vals", slice_field="slices",
+        ).collect()
+    }
+    # doc0: 3 vals × slice x → (1,x,3); doc1: 1 val × {x,y};
+    # doc2: 1 val × y; doc3: 0 vals → absent
+    assert got == {(1, "x", 4), (1, "y", 1), (2, "y", 1)}
