@@ -160,6 +160,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["date_facet_hour_offset"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "hour", pre_offset="+30m"
     ).select(_ms(), F.col("count").alias("cnt"))
+    q["date_facet_quarter"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "quarter"
+    ).select(_ms(), F.col("count").alias("cnt"))
+    q["date_facet_week"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "week"
+    ).select(_ms(), F.col("count").alias("cnt"))
     # slice by a JSON-extracted field (scalar-function coverage)
     q["date_facet_json_slice"] = lambda spark, sf: date_facet(
         _events(spark, sf).withColumn("k", F.get_json_object("props", "$.k")),
@@ -387,6 +393,10 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_hour_offset": "SELECT epoch_ms(date_trunc('hour', ts + INTERVAL '30' MINUTE)) "
         "AS time_ms, count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_quarter": "SELECT epoch_ms(date_trunc('quarter', ts)::TIMESTAMP) AS time_ms, "
+        "count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_week": "SELECT epoch_ms(date_trunc('week', ts)::TIMESTAMP) AS time_ms, "
+        "count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_json_slice": f"SELECT {ev_day} AS time_ms, "
         "json_extract_string(props, '$.k') AS term, count(*) AS cnt FROM events GROUP BY 1, 2",
         "date_facet_sliced_distinct": f"SELECT {ev_day} AS time_ms, event_type AS term, "
