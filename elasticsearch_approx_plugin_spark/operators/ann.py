@@ -182,3 +182,107 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def ivf_build(
+    emb: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic Lloyd k-means, then assign
+    every vector to its nearest centroid list.
+
+    Returns (assigned DataFrame with a ``list_id`` column, centroid
+    matrix). Each iteration is one scan: assignment happens in a numpy
+    matmul per Arrow batch (centroids broadcast in the closure), the
+    per-list mean reduces through an ordinary groupBy — the classic
+    iterate-in-driver / scan-on-cluster shape. Deterministic:
+    initial centroids are the lowest-id vectors, ties in argmin break
+    toward the lower list id.
+    """
+    init = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    )
+    centroids = np.stack([np.array(r[vec_col], dtype=np.float64) for r in init])
+
+    def assign_fn(cents: np.ndarray):
+        def fn(batches):
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "list_id": d.argmin(axis=1).astype(np.int64)}
+                )
+
+        return fn
+
+    v = emb.select(id_col, vec_col).persist()
+    try:
+        for _ in range(n_iters):
+            assigned = v.mapInPandas(assign_fn(centroids), f"{id_col} long, list_id long")
+            means = (
+                v.join(assigned, id_col)
+                .groupBy("list_id")
+                .agg(
+                    F.array(
+                        *[
+                            F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                            for i in range(centroids.shape[1])
+                        ]
+                    ).alias("centroid")
+                )
+                .collect()
+            )
+            for r in means:  # empty lists keep their previous centroid
+                centroids[int(r["list_id"])] = np.array(r["centroid"], dtype=np.float64)
+        assigned = v.mapInPandas(assign_fn(centroids), f"{id_col} long, list_id long")
+        out = v.join(assigned, id_col)
+    finally:
+        v.unpersist()
+    return out, centroids
+
+
+def ivf_cosine_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe each query's ``nprobe`` nearest IVF lists, exact cosine
+    re-rank inside them — the classic IVF-Flat search. The probed
+    fraction of the corpus is nprobe/n_lists; everything else is never
+    read (at rest, partitioning by list_id makes that partition
+    pruning)."""
+    spark = assigned.sparkSession
+    probe_rows = []
+    for qid, vec in queries:
+        d = ((centroids - np.asarray(vec, dtype=np.float64)) ** 2).sum(axis=1)
+        for li in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((qid, int(li), [float(x) for x in vec]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, list_id long, qvec array<double>"
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = cand.withColumn(
+        "score", F.round(dot / (norm(vec_col) * norm("qvec")), SCORE_DECIMALS)
+    ).dropDuplicates([id_col, "query_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

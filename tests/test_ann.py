@@ -102,3 +102,23 @@ def test_embedding_cosine_dedup(spark, emb, sf_dir):
     }
     assert set(lsh) <= set(exact)  # exact verification ⇒ no false positives
     assert all((i, i + 1000) in lsh for i in range(5))  # near-identical ⇒ caught
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb, queries):
+    from elasticsearch_approx_plugin_spark.operators.ann import ivf_build, ivf_cosine_topk
+
+    assigned, cents = ivf_build(emb, n_lists=8, n_iters=2)
+    # every vector lands in exactly one list
+    assert assigned.count() == emb.count()
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, K).collect()}
+    got_rows = ivf_cosine_topk(assigned, cents, queries, K, nprobe=4).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in got_rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5  # deterministic given seed; probing half the lists
+    # determinism across input partitioning
+    assigned2, cents2 = ivf_build(emb.repartition(7), n_lists=8, n_iters=2)
+    import numpy as np
+
+    assert np.allclose(cents, cents2)
+    got2 = {(r["query_id"], r["vec_id"]) for r in ivf_cosine_topk(assigned2, cents2, queries, K, nprobe=4).collect()}
+    assert got == got2
