@@ -234,6 +234,19 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_tables=8,
     )
 
+    def _ivf(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.ann import (
+            ivf_build,
+            ivf_cosine_topk,
+        )
+
+        assigned, cents = ivf_build(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), n_lists=8, n_iters=2
+        )
+        return ivf_cosine_topk(assigned, cents, _queries_vecs(spark, sf), 10, nprobe=4)
+
+    q["ann_ivf_topk"] = _ivf
+
     # -- text analysis -------------------------------------------------------
     q["token_count"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
