@@ -122,6 +122,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- inverted index + BM25 (north rule core) --------------------------
     q["bm25_topk"] = lambda spark, sf: score_queries(_index(spark, sf), BM25_QUERIES, K)
+    # block-max pruned path — provably identical results to exhaustive
+    # (same oracle), exercising the WAND skip under the hash check
+    q["bm25_topk_pruned"] = lambda spark, sf: score_queries(
+        _index(spark, sf), BM25_QUERIES, K, prune=True
+    )
     q["index_dictionary"] = lambda spark, sf: _index(spark, sf).dictionary.select(
         "term", "df", "cf"
     )
@@ -144,6 +149,43 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(spark, sf), "ts", "day", distinct_field="user_id",
         exact_threshold=-1, distinct_method="hybrid",
     ).select(_ms(), F.col("count").alias("cnt"), F.col("distinct_count").alias("distinct_cnt"))
+    # hybrid at a POSITIVE threshold above every bucket's cardinality:
+    # drives the normal exact-regime path (not the -1 never-tip
+    # sentinel) through the DuckDB hash check
+    q["date_facet_distinct_hybrid_threshold"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", distinct_field="user_id",
+        exact_threshold=10**6, distinct_method="hybrid",
+    ).select(
+        _ms(), F.col("count").alias("cnt"),
+        F.col("distinct_count").alias("distinct_cnt"),
+        F.col("tipped").cast("long").alias("tipped"),
+    )
+
+    # hybrid at a MID threshold: buckets above it tip to the sketch —
+    # `tipped` is deterministic (tips iff true cardinality > threshold);
+    # the estimate itself is checked within 5% of a derived exact column
+    def _hybrid_tipped(spark, sf):
+        ev = _events(spark, sf)
+        h = date_facet(
+            ev, "ts", "day", distinct_field="user_id",
+            exact_threshold=130, distinct_method="hybrid",
+        )
+        e = date_facet(ev, "ts", "day", distinct_field="user_id", distinct_method="exact")
+        return (
+            h.select("time", "count", "distinct_count", "tipped")
+            .join(e.select("time", F.col("distinct_count").alias("exact_d")), "time")
+            .select(
+                _ms(),
+                F.col("count").alias("cnt"),
+                F.col("tipped").cast("long").alias("tipped"),
+                (
+                    F.abs(F.col("distinct_count") - F.col("exact_d"))
+                    <= F.col("exact_d") * 0.05
+                ).cast("long").alias("ok"),
+            )
+        )
+
+    q["date_facet_distinct_hybrid_tipped"] = _hybrid_tipped
     q["date_facet_distinct_approx"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "day", distinct_field="user_id",
         exact_threshold=0, distinct_method="hybrid",
@@ -152,6 +194,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(spark, sf), "ts", "day", totals=True
     ).select(_ms(), F.col("count").alias("cnt"))
     q["date_facet_prezone"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", pre_zone="+05:30",
+        pre_zone_adjust_large_interval=True,
+    ).select(_ms(), F.col("count").alias("cnt"))
+    # reference DEFAULT for day+ intervals: truncate in pre_zone local
+    # time, do NOT shift back (DateFacetBuilder.java:176-180)
+    q["date_facet_prezone_large"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "day", pre_zone="+05:30"
     ).select(_ms(), F.col("count").alias("cnt"))
     q["date_facet_24h"] = lambda spark, sf: date_facet(
@@ -192,6 +240,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["term_list_sampled"] = lambda spark, sf: term_list(
         _tokens(spark, sf), "tokens", sample=0.3, seed=0
+    )
+    # deterministic doc-sampling variant (doc_id % 3) — same sampling
+    # SHAPE, but reproducible on both engines → full hash oracle
+    q["term_list_sampled_det"] = lambda spark, sf: term_list(
+        _tokens(spark, sf).filter(F.col("doc_id") % 3 == 0),
+        "tokens",
+        max_per_partition=None,
     )
 
     # -- dedup -------------------------------------------------------------
@@ -386,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
     ev_day = "epoch_ms(date_trunc('day', ts)::TIMESTAMP)"
     return {
         "bm25_topk": _BM25,
+        "bm25_topk_pruned": _BM25,  # pruning is provably result-identical
         "index_dictionary": f"WITH tok AS ({_TOK}) "
         "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY 1",
         "index_doc_stats": f"WITH tok AS ({_TOK}), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1) "
@@ -398,10 +454,19 @@ def oracle_sql() -> dict[str, str]:
         "count(DISTINCT user_id) AS distinct_cnt FROM events GROUP BY 1",
         "date_facet_distinct_hybrid": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "
         "count(DISTINCT user_id) AS distinct_cnt FROM events GROUP BY 1",
+        "date_facet_distinct_hybrid_threshold": f"SELECT {ev_day} AS time_ms, "
+        "count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt, "
+        "0::BIGINT AS tipped FROM events GROUP BY 1",
+        "date_facet_distinct_hybrid_tipped": f"SELECT {ev_day} AS time_ms, "
+        "count(user_id) AS cnt, "
+        "(count(DISTINCT user_id) > 130)::BIGINT AS tipped, 1::BIGINT AS ok "
+        "FROM events GROUP BY 1",
         "date_facet_rollup_totals": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY ROLLUP(1)",
         "date_facet_prezone": "SELECT epoch_ms((date_trunc('day', ts + INTERVAL '330' MINUTE) "
         "- INTERVAL '330' MINUTE)::TIMESTAMP) AS time_ms, count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_prezone_large": "SELECT epoch_ms(date_trunc('day', ts + INTERVAL '330' MINUTE)"
+        "::TIMESTAMP) AS time_ms, count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_24h": "SELECT (epoch_ms(ts) // 86400000) * 86400000 AS time_ms, "
         "count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_hour_offset": "SELECT epoch_ms(date_trunc('hour', ts + INTERVAL '30' MINUTE)) "
@@ -418,6 +483,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_global": "SELECT count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
         "FROM events",
         "term_list_text": f"WITH tok AS ({_TOK}) SELECT DISTINCT term FROM tok",
+        "term_list_sampled_det": f"WITH tok AS ({_TOK}) "
+        "SELECT DISTINCT term FROM tok WHERE doc_id % 3 = 0",
         "term_list_numeric": "SELECT DISTINCT n_chars::VARCHAR AS term FROM documents",
         "dedup_exact": "SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)",

@@ -32,7 +32,7 @@ import numpy as np
 
 from .hll import HLL_DEFAULT_RSD, hll_add_hashes, hll_estimate, hll_merge, hll_new, p_for_rsd
 
-_NEVER = np.iinfo(np.int64).max  # threshold=-1 sentinel resolves to "never"
+_NEVER = np.iinfo(np.int64).max  # threshold<0 sentinel resolves to "never"
 
 _HDR = struct.Struct("<BqqB")  # tipped, count, threshold, p
 
@@ -41,7 +41,9 @@ class CountThenEstimate:
     __slots__ = ("threshold", "p", "count", "tipped", "exact", "regs")
 
     def __init__(self, threshold: int = 1000, rsd: float = HLL_DEFAULT_RSD, p: int | None = None):
-        self.threshold = _NEVER if threshold == -1 else int(threshold)
+        # ANY negative threshold = never tip, matching the reference
+        # (DateFacetParser: exactThreshold < 0 → Integer.MAX_VALUE)
+        self.threshold = _NEVER if threshold < 0 else int(threshold)
         self.p = p if p is not None else p_for_rsd(rsd)
         self.count = 0
         self.tipped = self.threshold == 0

@@ -91,32 +91,72 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(
-    vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
-) -> "F.Column":
-    """Deterministic random-hyperplane LSH bucket id as a Catalyst
-    expression: sign pattern of <v, p_j> packed into a long.
+def _lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """Fixed random hyperplanes, shape (n_tables, n_planes, dim).
 
-    The planes are a fixed function of (seed, dim) — identical on
-    every executor and every cluster size.
+    A pure function of (seed, dim, n_planes, n_tables) — identical on
+    the driver and every executor, at every cluster size. Per-table
+    seeds are spread (seed + 7919·t) so adding a table never changes
+    the existing tables' buckets.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = None
-    for j in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in planes[j]]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return bucket
+    return np.stack(
+        [
+            np.random.default_rng(seed + 7919 * t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def _bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) vectors × (tables, planes, dim) → (n, tables) packed
+    sign-pattern buckets. One matmul for all tables."""
+    n_tables, n_planes, dim = planes.shape
+    proj = mat @ planes.reshape(n_tables * n_planes, dim).T  # (n, T*P)
+    bits = (proj >= 0).astype(np.int64).reshape(mat.shape[0], n_tables, n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    return bits @ weights  # (n, tables)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, vec, tbl, bucket) — one row per (vector, table).
+
+    The whole multi-table projection is ONE numpy matmul per Arrow
+    batch (planes live in the task closure); at dim 768 this replaces
+    the ~n_planes × n_tables × dim literal Catalyst expression nodes of
+    the old expression-based formulation, whose plan compile blew up
+    long before the data did. Replaces the retired
+    ``hyperplane_signature`` (see VERDICT r1 finding #2).
+    """
+    planes = _lsh_planes(dim, n_planes, n_tables, seed)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            buckets = _bucket_ids(mat, planes)  # (n, tables)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_tables),
+                    vec_col: pdf[vec_col].to_numpy().repeat(n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int64), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    vec_type = dict(df.dtypes)[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, {vec_col} {vec_type}, tbl long, bucket long"
+    )
 
 
 def lsh_cosine_topk(
@@ -132,33 +172,27 @@ def lsh_cosine_topk(
     """Approximate cosine top-k: multi-table hyperplane LSH proposes
     candidates (a vector matches if it shares the query's bucket in ANY
     table — recall = 1-(1-p^planes)^tables), exact cosine re-ranks.
-    One corpus projection, broadcast probe join, no full-scan matmul."""
+    One corpus projection (numpy matmul per Arrow batch), broadcast
+    probe join, no full-scan matmul."""
     dim = len(queries[0][1])
     spark = emb.sparkSession
 
-    def _buckets(col: str) -> F.Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_signature(col, dim, n_planes, seed + 7919 * t).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
-        )
-
-    bucketed = emb.select(
-        id_col, vec_col, F.explode(_buckets(vec_col)).alias("tb")
-    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
-
-    qdf = spark.createDataFrame(
-        [(qid, v) for qid, v in queries], "query_id long, qvec array<double>"
+    bucketed = hyperplane_buckets(
+        emb, id_col, vec_col, dim, n_planes, n_tables, seed
     )
-    probes = qdf.select(
-        "query_id", "qvec", F.explode(_buckets("qvec")).alias("tb")
-    ).select("query_id", "qvec", "tb.tbl", "tb.bucket")
+
+    # query buckets: same planes, computed driver-side (queries are tiny)
+    planes = _lsh_planes(dim, n_planes, n_tables, seed)
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qbuckets = _bucket_ids(qmat, planes)  # (nq, tables)
+    probes = spark.createDataFrame(
+        [
+            (qid, [float(x) for x in vec], int(t), int(qbuckets[qi, t]))
+            for qi, (qid, vec) in enumerate(queries)
+            for t in range(n_tables)
+        ],
+        "query_id long, qvec array<double>, tbl long, bucket long",
+    )
 
     cand = (
         bucketed.join(F.broadcast(probes), ["tbl", "bucket"])
@@ -196,52 +230,83 @@ def ivf_build(
     every vector to its nearest centroid list.
 
     Returns (assigned DataFrame with a ``list_id`` column, centroid
-    matrix). Each iteration is one scan: assignment happens in a numpy
-    matmul per Arrow batch (centroids broadcast in the closure), the
-    per-list mean reduces through an ordinary groupBy — the classic
-    iterate-in-driver / scan-on-cluster shape. Deterministic:
-    initial centroids are the lowest-id vectors, ties in argmin break
-    toward the lower list id.
+    matrix). Each Lloyd iteration is ONE corpus scan with NO join and
+    NO shuffle: a ``mapInPandas`` pass assigns each Arrow batch to its
+    nearest centroid (numpy matmul, centroids broadcast in the task
+    closure) and emits per-list PARTIAL (Σvec, count) rows — at most
+    n_lists rows per batch — which the driver reduces to the new
+    centroids. (Round-1 version joined the corpus back per iteration
+    and ran dim-many avg() aggregates — VERDICT r1 finding #3; this
+    replaces both with the partial-sum scan.) Deterministic: initial
+    centroids are the lowest-id vectors; argmin ties break toward the
+    lower list id; the driver reduce sorts partials before summing.
     """
     init = (
         emb.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
     )
     centroids = np.stack([np.array(r[vec_col], dtype=np.float64) for r in init])
+    dim = centroids.shape[1]
 
-    def assign_fn(cents: np.ndarray):
-        def fn(batches):
+    def partials_fn(cents: np.ndarray):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                # squared L2 via the expansion — one matmul, no (n, k, d) temp
+                d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cents.T)
+                d += (cents * cents).sum(axis=1)[None, :]
+                lid = d.argmin(axis=1).astype(np.int64)
+                order = np.argsort(lid, kind="stable")
+                lid_s = lid[order]
+                uniq, starts = np.unique(lid_s, return_index=True)
+                sums = np.add.reduceat(m[order], starts, axis=0)
+                counts = np.diff(np.append(starts, lid_s.size))
                 yield pd.DataFrame(
-                    {id_col: pdf[id_col], "list_id": d.argmin(axis=1).astype(np.int64)}
+                    {
+                        "list_id": uniq,
+                        "vsum": list(sums),
+                        "cnt": counts.astype(np.int64),
+                    }
                 )
 
         return fn
 
+    def assign_fn(cents: np.ndarray):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cents.T)
+                d += (cents * cents).sum(axis=1)[None, :]
+                out = pdf[[id_col, vec_col]].copy()
+                out["list_id"] = d.argmin(axis=1).astype(np.int64)
+                yield out
+
+        return fn
+
+    vec_type = dict(emb.dtypes)[vec_col]
     v = emb.select(id_col, vec_col).persist()
     try:
         for _ in range(n_iters):
-            assigned = v.mapInPandas(assign_fn(centroids), f"{id_col} long, list_id long")
-            means = (
-                v.join(assigned, id_col)
-                .groupBy("list_id")
-                .agg(
-                    F.array(
-                        *[
-                            F.avg(F.col(vec_col)[i]).alias(f"c{i}")
-                            for i in range(centroids.shape[1])
-                        ]
-                    ).alias("centroid")
-                )
-                .collect()
-            )
-            for r in means:  # empty lists keep their previous centroid
-                centroids[int(r["list_id"])] = np.array(r["centroid"], dtype=np.float64)
-        assigned = v.mapInPandas(assign_fn(centroids), f"{id_col} long, list_id long")
-        out = v.join(assigned, id_col)
+            rows = v.mapInPandas(
+                partials_fn(centroids), "list_id long, vsum array<double>, cnt long"
+            ).collect()  # ≤ n_batches × n_lists rows — small by construction
+            sums = np.zeros((n_lists, dim))
+            counts = np.zeros(n_lists, dtype=np.int64)
+            # fixed reduce order (collect order varies with scheduling;
+            # float addition is not associative)
+            for r in sorted(rows, key=lambda r: (r["list_id"], r["cnt"], r["vsum"])):
+                sums[r["list_id"]] += np.asarray(r["vsum"])
+                counts[r["list_id"]] += r["cnt"]
+            nonempty = counts > 0  # empty lists keep their previous centroid
+            centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        out = v.mapInPandas(
+            assign_fn(centroids), f"{id_col} long, {vec_col} {vec_type}, list_id long"
+        )
     finally:
-        v.unpersist()
+        v.unpersist(blocking=False)
     return out, centroids
 
 

@@ -105,6 +105,7 @@ def score_queries(
     queries: list[tuple[int, list[str]]],
     k: int = 10,
     prune: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Score a batch of (query_id, terms) → (query_id, doc_id, score, rank).
 
@@ -208,6 +209,14 @@ def score_queries(
             .groupBy("range_id")
             .applyInPandas(scorer, out_schema)
         )
+        if stats is not None:  # opt-in skip-rate accounting (cheap: bounds is tiny)
+            total = bounds.count()
+            scored = survivors.count()
+            stats.update(
+                ranges_total=total,
+                ranges_scored=scored,
+                skip_rate=round(1.0 - scored / max(total, 1), 4),
+            )
     else:
         local = matched.groupBy("range_id").applyInPandas(scorer, out_schema)
 
@@ -217,6 +226,12 @@ def score_queries(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+    if prune:
+        # materialize the (≤ queries × k rows) result, release the
+        # matched-postings cache — a serving session must not
+        # accumulate per-query executor cache (ADVICE r1 #4)
+        result = result.localCheckpoint(eager=True)
+        matched.unpersist(blocking=False)
     return result
 
 

@@ -82,6 +82,10 @@ def _offset_ms(spec: str | int | None) -> int:
     return (-1 if sign == "-" else 1) * int(n) * _UNIT_MS[unit]
 
 
+_LARGE_MS = 12 * 3_600_000  # ES 0.90 TimeZoneRounding's large-interval bar
+_LARGE_CALENDAR = {"day", "week", "month", "quarter", "year"}
+
+
 def bucket_expr(
     key_field: str,
     interval: str,
@@ -91,6 +95,7 @@ def bucket_expr(
     post_offset: str | int | None = None,
     factor: float | None = None,
     key_type=None,
+    pre_zone_adjust_large_interval: bool = False,
 ) -> Column:
     """Timezone-aware truncation of ``key_field`` to ``interval`` buckets.
 
@@ -100,6 +105,13 @@ def bucket_expr(
     key columns; the reference requires a long key
     (``DateFacetParser.java:208-221``) — we additionally accept real
     timestamps, the idiomatic Spark type.
+
+    ``pre_zone_adjust_large_interval`` (default false, matching
+    ``DateFacetBuilder.java:176-180`` / ES 0.90 ``TimeZoneRounding``):
+    for LARGE intervals (unit ≥ 12 h — day and above, or a TimeValue
+    span ≥ 12 h), the local-time-truncated bucket is treated as
+    already-UTC (no shift back) unless this flag is true; small
+    intervals always shift back so bucket instants stay comparable.
     """
     if key_type is not None and isinstance(key_type, (T.LongType, T.IntegerType)):
         ts = F.timestamp_millis(
@@ -117,13 +129,15 @@ def bucket_expr(
     key = interval.lower()
     if key in _CALENDAR:
         b = F.date_trunc(_CALENDAR[key], ts)
+        large = _CALENDAR[key] in _LARGE_CALENDAR
     else:
         m = _TIMEVALUE.match(key)
         if not m:
             raise ValueError(f"unsupported interval {interval!r}")
         span = int(m.group(1)) * _UNIT_MS[m.group(2)]
         b = F.timestamp_millis((F.unix_millis(ts) / span).cast("long") * span)
-    if pre_zone:
+        large = span >= _LARGE_MS
+    if pre_zone and (not large or pre_zone_adjust_large_interval):
         b = F.to_utc_timestamp(b, pre_zone)
     if post_zone:
         b = F.from_utc_timestamp(b, post_zone)
@@ -156,6 +170,7 @@ def date_facet(
     post_offset: str | int | None = None,
     factor: float | None = None,
     totals: bool = False,
+    pre_zone_adjust_large_interval: bool = False,
 ) -> DataFrame:
     """Run the date facet; returns a chronologically sorted DataFrame.
 
@@ -167,7 +182,7 @@ def date_facet(
         raise ValueError("value_field and distinct_field are mutually exclusive")
     b = bucket_expr(
         key_field, interval, pre_zone, post_zone, pre_offset, post_offset,
-        factor, df.schema[key_field].dataType,
+        factor, df.schema[key_field].dataType, pre_zone_adjust_large_interval,
     )
     df = df.filter(F.col(key_field).isNotNull()).withColumn("time", b)
 

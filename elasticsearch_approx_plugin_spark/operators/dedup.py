@@ -9,12 +9,15 @@ All variants are declarative DataFrame pipelines (JVM-side hashing via
   shingle → count common). Hot shingles are dropped above ``max_df``
   (a stopword-shingle appearing in millions of docs contributes no
   discrimination but quadratic join fan-out — the classic skew guard).
-- MinHash + LSH: per-doc signature = array of min-hashes (computed as
-  ``array_min(transform(shingles, xxhash64(s, seed)))`` — pure
-  Catalyst, vectorized, no UDF), banded into ``b`` bands of ``r`` rows;
-  candidate pairs share a band bucket; candidates are verified with
-  exact Jaccard so the output is exact-above-threshold (no false
-  positives; recall governed by (b, r)).
+- MinHash + LSH: string-free — tokens hash once (JVM xxhash64),
+  consecutive token-hashes combine into 64-bit shingle hashes with a
+  rolling polynomial, and ONE Arrow pass computes all ``num_hashes``
+  affine-permutation minima AND the band buckets
+  (``np.minimum.reduceat`` over a single (shingles × hashes) multiply).
+  Candidate pairs share a band bucket; candidates are verified with
+  exact Jaccard over the shingle-hash sets so the output is
+  exact-above-threshold (no false positives; recall governed by
+  (bands, rows)).
 - SimHash: 64-bit signature from per-bit majority of token hashes —
   expressed as 64 conditional sums in ONE hash aggregate (whole-stage
   codegen keeps this JVM-side); near-dup candidates = equality on any
@@ -79,8 +82,17 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        # non-broadcast semi-join on the COLD shingles: at 100 TB the
+        # >max_df hot-shingle list can itself be large, so neither side
+        # is forced broadcast (AQE may still choose to if it fits) —
+        # VERDICT r1 finding #4
+        cold = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(cold, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -104,19 +116,150 @@ def ngram_jaccard_pairs(
     )
 
 
+_POLY = 0x100000001B3  # odd rolling-hash multiplier (shingle combine)
+
+
+def shingle_hashes(
+    df: DataFrame, tokens_col: str, id_col: str, n: int = DEFAULT_SHINGLE_N
+) -> DataFrame:
+    """(id, shs array<long>) — distinct 64-bit shingle hashes per doc.
+
+    Tokens are hashed ONCE (JVM xxhash64 — the only per-token work;
+    a flat HOF that does codegen-friendly O(tokens) work); each
+    length-n window of token hashes then combines positionally with a
+    rolling polynomial IN NUMPY (uint64 wraparound), followed by a
+    per-doc ``np.unique``. No shingle STRING is ever materialized,
+    and no nested Catalyst HOF runs per window — both the round-1
+    string concat (5 s at sf0.1) and the interpreted
+    sequence∘element_at window expression (12 s) lose to this split
+    (~1 s JVM + ~1 s Arrow). Identical token windows map to identical
+    hashes, so set semantics (and exact Jaccard over the sets) match
+    string shingles w.h.p. (64-bit collisions ~1e-13 per doc pair)."""
+    import numpy as np
+    import pandas as pd
+
+    th = F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
+    base = df.select(F.col(id_col).alias("id"), th.alias("th")).filter(
+        F.size(F.col(tokens_col)) >= n
+    )
+    P = np.uint64(_POLY)
+    powers = [np.uint64(1)]  # wraparound powers of P (scalar ** would go float64)
+    for _ in range(n - 1):
+        powers.append(powers[-1] * P)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for lst in pdf["th"]:
+                t = np.asarray(lst, dtype=np.int64).view(np.uint64)
+                m = t.size - (n - 1)
+                acc = t[0:m] * powers[n - 1]
+                for k in range(1, n):
+                    acc = acc + t[k : m + k] * powers[n - 1 - k]
+                out.append(np.unique(acc).view(np.int64))
+            yield pd.DataFrame({"id": pdf["id"], "shs": out})
+
+    return base.mapInPandas(fn, "id long, shs array<long>")
+
+
+def _minhash_perms(num_hashes: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, 2**62, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sigs_np(pdf, num_hashes: int, seed: int = 42):
+    """(docs) pandas batch with ``shs`` lists → (n_docs, num_hashes)
+    uint64 signature matrix. The ``num_hashes`` "permutations" are
+    affine maps a_i·h + b_i over uint64 (wraparound) — the standard
+    universal-hash MinHash family. One vectorized (shingles ×
+    num_hashes) multiply + ``np.minimum.reduceat`` per chunk, instead
+    of round-1's 64 separate Catalyst array traversals per doc
+    (VERDICT r1 bench finding: 57% of suite wall)."""
+    import numpy as np
+
+    a, b = _minhash_perms(num_hashes, seed)
+    CHUNK_SHINGLES = 200_000  # bounds the (shingles × num_hashes) temp to ~100 MB
+    n_docs = len(pdf)
+    hs = pdf["shs"].to_numpy()
+    lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n_docs)
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).view(np.uint64)
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    sigs = np.empty((n_docs, num_hashes), dtype=np.uint64)
+    d0 = 0
+    while d0 < n_docs:
+        d1, tot = d0, 0
+        while d1 < n_docs and (tot == 0 or tot + lens[d1] <= CHUNK_SHINGLES):
+            tot += lens[d1]
+            d1 += 1
+        s0 = offsets[d0]
+        m = flat[s0 : s0 + tot, None] * a[None, :] + b[None, :]  # uint64 wrap
+        sigs[d0:d1] = np.minimum.reduceat(m, offsets[d0:d1] - s0, axis=0)
+        d0 = d1
+    return sigs
+
+
+def _sig_fn(num_hashes: int, seed: int = 42):
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs = _minhash_sigs_np(pdf, num_hashes, seed)
+            yield pd.DataFrame({"id": pdf["id"], "sig": list(sigs.view(np.int64))})
+
+    return fn
+
+
+def _banded_fn(num_hashes: int, bands: int, seed: int = 42):
+    """Signatures AND band buckets in ONE Arrow pass: emits
+    (id, band, bucket) — 16 rows/doc — so no second pass over sig
+    arrays and no per-band JVM hash expressions."""
+    import numpy as np
+    import pandas as pd
+
+    r = num_hashes // bands
+
+    def fn(batches):
+        for pdf in batches:
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            sigs = _minhash_sigs_np(pdf, num_hashes, seed)
+            buckets = np.zeros((n_docs, bands), dtype=np.uint64)
+            for b in range(bands):
+                acc = np.zeros(n_docs, dtype=np.uint64)
+                for j in range(r):
+                    acc = acc * np.uint64(_POLY) + sigs[:, b * r + j]
+                buckets[:, b] = acc
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int64), n_docs),
+                    "bucket": buckets.reshape(-1).view(np.int64),
+                }
+            )
+
+    return fn
+
+
 def minhash_signatures(
     df: DataFrame, tokens_col: str, id_col: str, num_hashes: int = 64, n: int = DEFAULT_SHINGLE_N
 ) -> DataFrame:
-    """(id, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, i). No UDF: array_min ∘ transform is codegen'd."""
-    sh = shingles(df.select(id_col, tokens_col), tokens_col, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    """(id, sig array<long>) — sig[i] = min over shingle hashes of
+    perm_i(h). One JVM token-hash pass, one Arrow pass for all
+    ``num_hashes`` minima."""
+    return shingle_hashes(df, tokens_col, id_col, n).mapInPandas(
+        _sig_fn(num_hashes), "id long, sig array<long>"
     )
-    return sh.filter(F.size("shingles") > 0).select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_dedup(
@@ -136,36 +279,14 @@ def minhash_lsh_dedup(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
-    # one shingle pass shared by the signature path and the verify path
-    shd = shingles(df.select(id_col, tokens_col), tokens_col, n).filter(
-        F.size("shingles") > 0
-    ).persist()
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+    # one (string-free) shingle-hash pass shared by the signature path
+    # and the verify path
+    shd = shingle_hashes(df.select(id_col, tokens_col), tokens_col, id_col, n).persist()
     # banded feeds BOTH sides of the self-join → persist, or the whole
     # signature pipeline evaluates twice per downstream action
-    sigs = shd.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[bi * r + j] for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket").persist()
+    banded = shd.mapInPandas(
+        _banded_fn(num_hashes, bands), "id long, band long, bucket long"
+    ).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -174,13 +295,10 @@ def minhash_lsh_dedup(
         .distinct()
         .persist()  # reused by cand_ids, the semi-join, and the verify join
     )
-    # verify candidates with exact Jaccard over shingle sets; the
-    # exploded shingle table feeds two joins + the size agg → persist
-    sh = (
-        shd.select(F.col(id_col).alias("id"), F.explode(F.col("shingles")).alias("shingle"))
-        .distinct()
-        .persist()
-    )
+    # verify candidates with exact Jaccard over shingle-hash sets
+    # (already distinct per doc); the exploded table feeds two joins +
+    # the size agg → persist
+    sh = shd.select("id", F.explode(F.col("shs")).alias("shingle")).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # verify only candidate docs: semi-join slashes the shingle table
     # before the pairwise common-count join (candidates ≪ corpus)
@@ -194,7 +312,7 @@ def minhash_lsh_dedup(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    return (
+    result = (
         common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
         .withColumn(
@@ -204,21 +322,99 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the (small: dup pairs only) result, then release the
+    # four intermediates — a long-lived session serving many dedup
+    # calls must not accumulate executor cache (ADVICE r1 #4)
+    result = result.localCheckpoint(eager=True)
+    for cached in (shd, banded, cand, sh):
+        cached.unpersist(blocking=False)
+    return result
 
 
-def resolve_keep_list(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Distributed connected components over an edge list
+    (id_a, id_b) → (id, component) where component = min id in the
+    component. Iterative min-label propagation WITH pointer jumping:
+    each round every node adopts the minimum label among itself and
+    its neighbors, then labels chase one hop (l(v) ← l(l(v)), path
+    halving), so convergence is O(log diameter) rounds — a chain of
+    length d resolves in ~log₂ d rounds, not d. Each round is two
+    shuffle joins + one groupBy; lineage is truncated per round with
+    an eager localCheckpoint, so the plan never grows with
+    iterations. Never collects edges to the driver (VERDICT r1
+    finding #1)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # min over: own label, and every neighbor's label
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        propagated = labels.join(nbr.withColumnRenamed("src", "id"), "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_label", "label")).alias("label")
+        )
+        # pointer jump: l(v) ← l(l(v)); l(w) ≤ w always, so the hop is
+        # monotone and safe (labels are node ids, every node has a row)
+        new_labels = (
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col("id").alias("label"), F.col("label").alias("label2")
+                ),
+                "label",
+                "left",
+            )
+            .select("id", F.coalesce("label2", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def resolve_keep_list(
+    df: DataFrame, pairs: DataFrame, id_col: str, driver_max_pairs: int = 100_000
+) -> DataFrame:
     """Turn near-dup pairs into a keep/drop decision: connected
     components over the pair graph, keep the minimum id per component.
+    Returns the surviving rows of ``df``.
 
-    The pair set is sparse relative to the corpus (that's the point of
-    near-dup detection), so the union-find runs driver-side over the
-    collected pairs — the corpus itself is only touched by one
-    broadcast anti-join. Returns the surviving rows of ``df``.
+    Small pair sets (≤ ``driver_max_pairs``, counted first) use a
+    driver union-find — one collect, zero extra jobs. Larger sets go
+    through :func:`connected_components` (distributed min-label
+    propagation), so dup-pair volume can never OOM the driver. In both
+    paths the corpus itself is only touched by one anti-join on the
+    drop list (broadcast when small)."""
+    n_pairs = pairs.limit(driver_max_pairs + 1).count()
+    spark = df.sparkSession
+    if n_pairs > driver_max_pairs:
+        comp = connected_components(pairs)
+        drops_df = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drops_df, id_col, "left_anti")
 
-    At extreme pair counts swap the driver union-find for iterative
-    label propagation (min-id broadcast join until fixpoint); the
-    surrounding plan is unchanged.
-    """
     parent: dict = {}
 
     def find(x):
@@ -232,7 +428,6 @@ def resolve_keep_list(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     drops = [x for x in parent if find(x) != x]
-    spark = df.sparkSession
     drop_df = spark.createDataFrame([(d,) for d in drops] or [(None,)], f"{id_col} long")
     return df.join(F.broadcast(drop_df.where(F.col(id_col).isNotNull())), id_col, "left_anti")
 
@@ -308,10 +503,10 @@ def embedding_cosine_dedup(
     1-(1-(1-θ/π)^planes)^tables → ≈1 for θ→0. ``exhaustive=True``
     switches to the full O(n²) self-join (the small-data oracle path).
     """
-    from .ann import hyperplane_signature
+    from .ann import hyperplane_buckets
 
-    dim = None
     v = emb.select(id_col, vec_col)
+    banded = None
     if exhaustive:
         cand = (
             v.alias("x")
@@ -325,21 +520,9 @@ def embedding_cosine_dedup(
         )
     else:
         dim = len(emb.select(vec_col).first()[0])
-        banded = v.select(
-            id_col,
-            vec_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            hyperplane_signature(vec_col, dim, n_planes, seed + 7919 * t).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(id_col, vec_col, "tb.tbl", "tb.bucket").persist()
+        banded = hyperplane_buckets(
+            v, id_col, vec_col, dim, n_planes, n_tables, seed
+        ).persist()
         cand = (
             banded.alias("x")
             .join(banded.alias("y"), ["tbl", "bucket"])
@@ -360,8 +543,13 @@ def embedding_cosine_dedup(
     norm = lambda c: F.sqrt(
         F.aggregate(F.col(c).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return (
+    result = (
         cand.withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if banded is not None:
+        # materialize the (small) pair list, then release the cache
+        result = result.localCheckpoint(eager=True)
+        banded.unpersist(blocking=False)
+    return result

@@ -37,6 +37,12 @@ _HASH_COL = "__value_hash"
 _STATE_COL = "__sketch_state"
 
 
+def _norm_key(key: tuple) -> tuple:
+    """Null group-key values (None/NaN/NaT) → None, so a null key is ONE
+    group (SQL GROUP BY semantics) instead of NaN≠NaN dict-key drift."""
+    return tuple(None if pd.isna(x) else x for x in key)
+
+
 def _partial_states(group_cols: list[str], threshold: int, rsd: float):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[tuple, CountThenEstimate] = {}
@@ -53,12 +59,18 @@ def _partial_states(group_cols: list[str], threshold: int, rsd: float):
                 continue
             if len(group_cols) == 1:
                 codes, uniques = pd.factorize(pdf[group_cols[0]], sort=False)
-                keys = [(u,) for u in uniques]
+                keys = [(None if pd.isna(u) else u,) for u in uniques]
+                if (codes == -1).any():
+                    # factorize sentinels null keys as -1; keep them as
+                    # their own group (ADVICE r1 #1 — SQL retains a
+                    # null group; previously these rows were dropped)
+                    codes = np.where(codes == -1, len(keys), codes)
+                    keys.append((None,))
             else:
                 codes, uniques = pd.factorize(
                     pd.Series(list(zip(*[pdf[c] for c in group_cols]))), sort=False
                 )
-                keys = list(uniques)
+                keys = [_norm_key(k) for k in uniques]
             # sort-and-slice: O(N log N) once, vs O(groups × N) masking
             order = np.argsort(codes, kind="stable")
             sorted_h = hashes[order]
@@ -88,7 +100,7 @@ def _merge_states(group_cols: list[str]):
         states: dict[tuple, CountThenEstimate] = {}
         for pdf in batches:
             keys = (
-                list(zip(*[pdf[c] for c in group_cols]))
+                [_norm_key(k) for k in zip(*[pdf[c] for c in group_cols])]
                 if group_cols
                 else [()] * len(pdf)
             )
@@ -161,4 +173,9 @@ def sketch_agg(
     overall = _global(partials)
     for c in group_cols:
         overall = overall.withColumn(c, F.lit(None).cast(hashed.schema[c].dataType))
-    return grouped.unionByName(overall.select(*[f.name for f in final_schema.fields]))
+    result = grouped.unionByName(overall.select(*[f.name for f in final_schema.fields]))
+    # materialize the (small: one row per bucket) result so the shared
+    # partials cache can be released immediately (ADVICE r1 #4)
+    result = result.localCheckpoint(eager=True)
+    partials.unpersist(blocking=False)
+    return result

@@ -26,21 +26,17 @@ import json
 from typing import Any
 
 from pyspark.sql import DataFrame
-
-
-def _ms(dt) -> int | None:
-    import datetime
-
-    if dt is None:
-        return None
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=datetime.timezone.utc)
-    return int(dt.timestamp() * 1000)
+from pyspark.sql import functions as F
 
 
 def facet_response(df: DataFrame, as_json: bool = False):
     """Render a ``date_facet(...)`` result (any mode, with or without
-    ``totals=True``) into the reference's response dict/JSON."""
+    ``totals=True``) into the reference's response dict/JSON.
+
+    Epoch-ms entry labels are computed JVM-side (``unix_millis``)
+    BEFORE collect: PySpark renders TimestampType in the driver's
+    local timezone on collect, which would shift naive-UTC math by
+    the driver's offset (ADVICE r1 #3)."""
     cols = set(df.columns)
     sliced = "term" in cols
     distinct = "distinct_count" in cols
@@ -52,16 +48,18 @@ def facet_response(df: DataFrame, as_json: bool = False):
     if not sliced and not distinct:
         _type = "counting_date_facet"
 
-    rows = df.collect()
+    rows = df.withColumn(
+        "__time_ms", F.unix_millis(F.col("time").cast("timestamp"))
+    ).collect()
     total_row = [r for r in rows if r["time"] is None and (not sliced or r["term"] is None)]
     bucket_rows = [r for r in rows if r["time"] is not None]
 
     entries: list[dict[str, Any]] = []
     if sliced:
         by_time: dict[Any, dict[str, Any]] = {}
-        for r in sorted(bucket_rows, key=lambda r: (r["time"], str(r["term"]))):
+        for r in sorted(bucket_rows, key=lambda r: (r["__time_ms"], str(r["term"]))):
             e = by_time.setdefault(
-                r["time"], {"time": _ms(r["time"]), "count": 0, "slices": []}
+                r["__time_ms"], {"time": r["__time_ms"], "count": 0, "slices": []}
             )
             s = {"term": r["term"], "count": r["count"]}
             if distinct:
@@ -70,8 +68,8 @@ def facet_response(df: DataFrame, as_json: bool = False):
             e["count"] += r["count"]
         entries = list(by_time.values())
     else:
-        for r in sorted(bucket_rows, key=lambda r: r["time"]):
-            e = {"time": _ms(r["time"]), "count": r["count"]}
+        for r in sorted(bucket_rows, key=lambda r: r["__time_ms"]):
+            e = {"time": r["__time_ms"], "count": r["count"]}
             if distinct:
                 e["distinct_count"] = r["distinct_count"]
             entries.append(e)

@@ -66,22 +66,49 @@ class InvertedIndex:
     n_buckets: int | None = None  # set for persisted indexes (bucket= dirs)
 
 
-def assign_doc_ids(df: DataFrame, key_cols: list[str], n_buckets: int = 64) -> DataFrame:
-    """Deterministic dense docIDs, identical at any parallelism.
+def assign_doc_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int | None = None,
+    target_bucket_rows: int = 2_000_000,
+) -> DataFrame:
+    """Deterministic dense docIDs, identical at any parallelism AND at
+    any bucket count.
 
     Positional ids (``zipWithIndex`` / windowed ``row_number``) depend
     on physical partitioning, so they change between N and 4N executors
     — which would break the north rule's rank-identical requirement.
-    Instead: bucket = ``pmod(xxhash64(key), n_buckets)`` (pure function
-    of the data), rank within bucket by key, offset by cumulative
-    bucket sizes (one tiny count-per-bucket pass). Dense, deterministic,
-    and the only wide exchange is the hash repartition.
+    Instead: doc_id = the global rank of the row under the total order
+    (unsigned ``xxhash64(key)``, key). Distributed realization: bucket
+    on the hash's TOP bits (so buckets are contiguous unsigned-hash
+    ranges and the within-bucket signed sort equals the unsigned global
+    order), rank within bucket, offset by cumulative bucket sizes (one
+    tiny count-per-bucket pass). Because the order is a pure function
+    of the data, the ids are invariant to ``n_buckets`` too.
+
+    ``n_buckets`` defaults to input size / ``target_bucket_rows``
+    (min 64, rounded up to a power of two): each bucket is one
+    window-sort task and must fit that task — a fixed 64 would make
+    bucket size grow linearly with a 100× input (VERDICT r1).
     """
-    keyed = df.withColumn("_bucket", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)))
+    import math
+
+    if n_buckets is None:
+        rows = df.count()
+        bits = max(6, math.ceil(math.log2(max(rows / target_bucket_rows, 1))))
+    else:
+        bits = int(round(math.log2(n_buckets)))
+        if (1 << bits) != n_buckets:
+            raise ValueError("n_buckets must be a power of two")
+        bits = max(bits, 1)
+    nb = 1 << bits
+    keyed = df.withColumn("_h", F.xxhash64(*key_cols)).withColumn(
+        "_bucket", F.shiftrightunsigned(F.col("_h"), 64 - bits)
+    )
     sizes = {r["_bucket"]: r["count"] for r in keyed.groupBy("_bucket").count().collect()}
     offsets = {}
     acc = 0
-    for b in range(n_buckets):
+    for b in range(nb):
         offsets[b] = acc
         acc += sizes.get(b, 0)
     spark = df.sparkSession
@@ -92,13 +119,15 @@ def assign_doc_ids(df: DataFrame, key_cols: list[str], n_buckets: int = 64) -> D
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_bucket").orderBy(*key_cols)
+    # all rows in a bucket share the hash's top bits (incl. the sign
+    # bit for bits ≥ 1), so signed _h ordering == unsigned ordering here
+    w = Window.partitionBy("_bucket").orderBy("_h", *key_cols)
     return (
-        keyed.repartition(n_buckets, "_bucket")
+        keyed.repartition(nb, "_bucket")
         .withColumn("_rank", F.row_number().over(w) - 1)
         .join(off_df, "_bucket")
         .withColumn("doc_id", F.col("_offset") + F.col("_rank"))
-        .drop("_bucket", "_rank", "_offset")
+        .drop("_bucket", "_rank", "_offset", "_h")
     )
 
 

@@ -77,6 +77,9 @@ def term_list(
     terms = terms.filter(F.col("term").isNotNull()).select(
         F.col("term").cast("string").alias("term")
     )
-    if max_per_partition is not None:
+    # cap fast path: an uncapped (None / effectively-infinite) list is a
+    # pure JVM distinct — don't route every term through a Python pass
+    # that can never drop anything (VERDICT r1 finding #5)
+    if max_per_partition is not None and max_per_partition < (1 << 40):
         terms = terms.mapInPandas(_cap_partition_distinct(max_per_partition), "term string")
     return terms.distinct()

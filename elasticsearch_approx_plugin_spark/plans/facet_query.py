@@ -37,10 +37,21 @@ class DateFacetQuery:
     post_zone: str | None = None
     pre_offset: str | int | None = None
     post_offset: str | int | None = None
+    pre_zone_adjust_large_interval: bool = False  # DateFacetBuilder.java:176-180
+    factor: float | None = None  # numeric-key epoch multiplier (DateFacetBuilder.java:186-196)
     totals: bool = False
     filter: Column | str | None = None  # facetFilter analog
+    # ``global`` analog (DateFacetBuilder.java:261-269): ignore the
+    # enclosing query — the caller passes the unfiltered table to
+    # ``run(df, global_df=...)`` and the facet runs over THAT, with
+    # ``filter`` (the facetFilter) still applied.
+    global_facet: bool = False
 
-    def run(self, df: DataFrame) -> DataFrame:
+    def run(self, df: DataFrame, global_df: DataFrame | None = None) -> DataFrame:
+        if self.global_facet:
+            if global_df is None:
+                raise ValueError("global_facet=True requires global_df (the unfiltered table)")
+            df = global_df
         if self.filter is not None:
             df = df.filter(self.filter)
         return date_facet(
@@ -56,7 +67,9 @@ class DateFacetQuery:
             post_zone=self.post_zone,
             pre_offset=self.pre_offset,
             post_offset=self.post_offset,
+            factor=self.factor,
             totals=self.totals,
+            pre_zone_adjust_large_interval=self.pre_zone_adjust_large_interval,
         )
 
 

@@ -152,3 +152,31 @@ def assert_sha_ok(df: DataFrame) -> None:
     bad = read_corpus_verified(df).filter(~F.col("_sha_ok")).count()
     if bad:
         raise ValueError(f"content sha256 mismatch on {bad} rows")
+
+
+def with_sha_enforced(
+    df: DataFrame, content_col: str = "content", sha_col: str = "content_sha"
+) -> DataFrame:
+    """Per-row sha256 invariant enforced INLINE on the read path.
+
+    The content column is wrapped so a mismatching row fails its task
+    (``raise_error``) the moment it is read — no second scan, the
+    check rides the same whole-stage-codegen pass as the tokenizer
+    downstream. This is the always-on form of the invariant as
+    BASELINE.json phrases it ("content sha256 equality is asserted per
+    row against the source"); :func:`assert_sha_ok` remains the
+    batch-audit form (counts all bad rows instead of failing on the
+    first)."""
+    guard = F.when(
+        F.sha2(F.col(content_col).cast("binary"), 256) == F.col(sha_col),
+        F.col(content_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("content sha256 mismatch at row"),
+                *[F.col(c).cast("string") for c in ("repo", "path", "commit") if c in df.columns],
+            )
+        )
+    )
+    return df.withColumn(content_col, guard)

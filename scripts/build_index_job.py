@@ -31,7 +31,7 @@ from elasticsearch_approx_plugin_spark.operators.postings import (
     build_index,
     write_index,
 )
-from elasticsearch_approx_plugin_spark.sources.corpus import assert_sha_ok, generate_corpus
+from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus, with_sha_enforced
 
 
 def main() -> None:
@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--tokenizer", choices=["code", "ws"], default="code")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--range-bits", type=int, default=20)
+    ap.add_argument(
+        "--no-verify-sha",
+        action="store_true",
+        help="skip the per-row content_sha read-path guard",
+    )
     args = ap.parse_args()
 
     # resume short-circuit: a complete manifest means nothing to do —
@@ -79,8 +84,11 @@ def main() -> None:
     else:
         ap.error("need --input or --generate")
 
-    if "content_sha" in corpus.columns:
-        assert_sha_ok(corpus)  # input_hint invariant, fails loudly on corruption
+    if "content_sha" in corpus.columns and not args.no_verify_sha:
+        # input_hint invariant, enforced per row ON the read path (the
+        # guard fuses into the tokenize scan — zero extra passes; a
+        # mismatching row fails its task with the offending repo/path)
+        corpus = with_sha_enforced(corpus)
 
     tok = tokenize_code if args.tokenizer == "code" else tokenize_ws
     if args.id_col:

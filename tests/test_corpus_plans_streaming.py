@@ -97,3 +97,46 @@ def test_streaming_date_facet_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_with_sha_enforced_read_path_guard(spark):
+    """The inline read-path guard passes clean rows untouched and
+    fails the task on the first corrupted row (no second scan)."""
+    from elasticsearch_approx_plugin_spark.sources.corpus import with_sha_enforced
+
+    clean = generate_corpus(spark, 50)
+    assert with_sha_enforced(clean).count() == 50
+    # content round-trips unmodified through the guard
+    a = clean.orderBy("commit").select("content").first()[0]
+    b = with_sha_enforced(clean).orderBy("commit").select("content").first()[0]
+    assert a == b
+
+    corrupted = clean.withColumn(
+        "content",
+        F.when(F.col("repo") == "org1/repo1", F.concat("content", F.lit("X"))).otherwise(
+            F.col("content")
+        ),
+    )
+    with pytest.raises(Exception, match="sha256 mismatch"):
+        with_sha_enforced(corrupted).select(F.length("content").alias("l")).agg(
+            F.sum("l")
+        ).collect()
+
+
+def test_global_facet_ignores_enclosing_filter(spark, sf_dir_med):
+    """DateFacetQuery(global_facet=True) facets the UNFILTERED table
+    (the reference's `global` option, DateFacetBuilder.java:261-269),
+    with `filter` still acting as the facetFilter."""
+    events = spark.read.parquet(f"{sf_dir_med}/events.parquet")
+    narrowed = events.filter(F.col("event_type") == "click")
+
+    q = DateFacetQuery("ts", "day", global_facet=True)
+    got = q.run(narrowed, global_df=events).agg(F.sum("count")).first()[0]
+    assert got == events.count()
+
+    q2 = DateFacetQuery("ts", "day")
+    got2 = q2.run(narrowed).agg(F.sum("count")).first()[0]
+    assert got2 == narrowed.count() < got
+
+    with pytest.raises(ValueError, match="global_df"):
+        DateFacetQuery("ts", "day", global_facet=True).run(narrowed)

@@ -141,9 +141,14 @@ def test_1m_means_minute(events):
 
 
 def test_pre_zone_shifts_boundaries(events, sf_dir_med):
+    # pre_zone_adjust_large_interval=True: local truncation, shifted
+    # back to UTC (ES TimeTimeZoneRoundingFloor semantics)
     got = [
         (r["time"], r["count"])
-        for r in date_facet(events, "ts", "day", pre_zone="+05:30").collect()
+        for r in date_facet(
+            events, "ts", "day", pre_zone="+05:30",
+            pre_zone_adjust_large_interval=True,
+        ).collect()
     ]
     exp = _duck(
         sf_dir_med,
@@ -151,6 +156,33 @@ def test_pre_zone_shifts_boundaries(events, sf_dir_med):
         "count(*) AS count FROM {ev} GROUP BY 1 ORDER BY 1",
     )
     assert got == exp
+
+
+def test_pre_zone_large_interval_default_no_shift_back(events, sf_dir_med):
+    # reference DEFAULT (preZoneAdjustLargeInterval=false,
+    # DateFacetBuilder.java:176-180): for day+ intervals the
+    # local-truncated bucket is treated as already-UTC — no shift back
+    # (ES DayTimeZoneRoundingFloor semantics)
+    got = [
+        (r["time"], r["count"])
+        for r in date_facet(events, "ts", "day", pre_zone="+05:30").collect()
+    ]
+    exp = _duck(
+        sf_dir_med,
+        "SELECT date_trunc('day', ts + INTERVAL '330' MINUTE)::TIMESTAMP AS time, "
+        "count(*) AS count FROM {ev} GROUP BY 1 ORDER BY 1",
+    )
+    assert got == exp
+    # small intervals always shift back, flag irrelevant
+    a = [tuple(r) for r in date_facet(events, "ts", "hour", pre_zone="+05:30").collect()]
+    b = [
+        tuple(r)
+        for r in date_facet(
+            events, "ts", "hour", pre_zone="+05:30",
+            pre_zone_adjust_large_interval=True,
+        ).collect()
+    ]
+    assert a == b
 
 
 def test_pre_offset(events, sf_dir_med):
@@ -175,3 +207,36 @@ def test_sketch_agg_global(events, sf_dir_med):
     row = sketch_agg(events, [], "user_id", exact_threshold=-1).collect()[0]
     exp = _duck(sf_dir_med, "SELECT count(user_id), count(DISTINCT user_id) FROM {ev}")[0]
     assert (row["count"], row["distinct_count"]) == exp
+
+
+def test_sketch_agg_null_group_key_retained(spark):
+    """A null group key is ONE group (SQL GROUP BY semantics), not
+    dropped (single-col path) or NaN-fragmented (multi-col path)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), (None, 3), (None, 4), ("b", 5)],
+        "k string, v int",
+    ).repartition(3)
+    got = {
+        r["k"]: (r["count"], r["distinct_count"])
+        for r in sketch_agg(df, ["k"], "v", exact_threshold=-1).collect()
+    }
+    assert got == {"a": (2, 2), None: (3, 2), "b": (1, 1)}
+    # multi-column path: (null, x) keys merge across partitions too
+    df2 = spark.createDataFrame(
+        [(None, "x", 1), (None, "x", 2), (None, "y", 1), ("a", "x", 1)],
+        "k1 string, k2 string, v int",
+    ).repartition(3)
+    got2 = {
+        (r["k1"], r["k2"]): (r["count"], r["distinct_count"])
+        for r in sketch_agg(df2, ["k1", "k2"], "v", exact_threshold=-1).collect()
+    }
+    assert got2 == {(None, "x"): (2, 2), (None, "y"): (1, 1), ("a", "x"): (1, 1)}
+
+
+def test_sketch_agg_any_negative_threshold_never_tips(spark):
+    """Reference parity: ANY negative exactThreshold = never tip
+    (DateFacetParser: exactThreshold < 0 → Integer.MAX_VALUE)."""
+    df = spark.createDataFrame([(i,) for i in range(500)], "v int")
+    for th in (-1, -2, -100):
+        row = sketch_agg(df, [], "v", exact_threshold=th).collect()[0]
+        assert row["distinct_count"] == 500 and not row["tipped"]

@@ -157,3 +157,50 @@ def test_resolve_keep_list_no_pairs(corpus, spark):
     df, _ = corpus
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert resolve_keep_list(df, empty, "doc_id").count() == df.count()
+
+
+def test_resolve_keep_list_distributed(spark):
+    """≥10^5 pairs routes through distributed connected components
+    (driver union-find bypassed), including a chain component that
+    needs pointer jumping (O(log d) rounds, not O(d))."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.operators.dedup import resolve_keep_list
+
+    n_stars = 110_000
+    stars = spark.range(n_stars).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    chain_base = 10_000_000
+    chain_len = 64
+    chain = spark.range(chain_len).select(
+        (F.lit(chain_base) + F.col("id")).alias("id_a"),
+        (F.lit(chain_base) + F.col("id") + 1).alias("id_b"),
+    )
+    pairs = stars.union(chain)
+    node_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    kept = resolve_keep_list(node_ids, pairs, "doc_id", driver_max_pairs=1000)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # one survivor per star (the even id) + one for the whole chain
+    assert len(kept_ids) == n_stars + 1
+    assert chain_base in kept_ids
+    assert all(x not in kept_ids for x in range(chain_base + 1, chain_base + chain_len + 1))
+    assert (2 * 5) in kept_ids and (2 * 5 + 1) not in kept_ids
+
+
+def test_connected_components_chain_and_merge(spark):
+    """Two chains that share a node merge into one component with the
+    global min label."""
+    from elasticsearch_approx_plugin_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (100, 3), (101, 100), (7, 8)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert all(comp[x] == 1 for x in (1, 2, 3, 4, 5, 100, 101))
+    assert comp[7] == comp[8] == 7

@@ -1,0 +1,173 @@
+"""Golden-file replay vs the reference's REQUEST/RESPONSE fixtures.
+
+The reference's strongest end-to-end layer is request/response replay
+(``MediumDataSetTest.java:99-119`` in /root/reference): each
+``*-REQUEST.json`` is sent to a 489k-doc index and the ``facets``
+object is JSONAssert-compared with the stored ``*-RESPONSE.json``.
+That index is distributed out-of-band (a Box link in
+``src/test/resources/data/note.txt``) and is NOT in the repo, so exact
+value replay is impossible anywhere the reference's own tests can't
+run either. This mirrors the discipline semantically, using the ACTUAL
+fixture files:
+
+1. every REQUEST file parses through :func:`parse_request` (parser
+   parity — same field names/aliases as ``DateFacetParser.java``);
+2. the parsed query runs over a deterministic synthetic corpus with
+   the fixture's field layout, and ``materialize.facet_response``
+   renders the reference's external JSON;
+3. the rendered facet is compared field-for-field against
+   (a) the stored RESPONSE's structure — same key set, same ``_type``,
+       same entry key set (the golden SHAPE), and
+   (b) a DuckDB oracle computing the same facet over the same
+       synthetic corpus (the golden VALUES, engine-independent).
+"""
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.operators.materialize import (
+    facet_response,
+    term_list_response,
+)
+from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
+
+FIXDIR = "/root/reference/src/test/resources"
+DE = f"{FIXDIR}/distinct_exact"
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(DE), reason="reference fixtures not present"
+)
+
+
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Deterministic synthetic stand-in for the unavailable 489k-doc
+    index: same field names/types the fixtures query, plus a parquet
+    copy for the DuckDB oracle."""
+    df = spark.range(5000).select(
+        F.timestamp_millis(
+            F.lit(1367938920000) + (F.col("id") % 600) * 31_000
+        ).alias("datetime"),
+        F.concat(F.lit("u"), (F.pmod(F.xxhash64("id"), F.lit(350))).cast("string")).alias(
+            "abac"
+        ),
+        (F.col("id") % 2 == 0).alias("aardwolf"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(97)) / 10.0).alias("aam"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).alias("aardvark"),
+        F.array(
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(50)) / 7.0),
+            (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(50)) / 7.0),
+        ).alias("Ababdeh_list"),
+        F.concat(F.lit("w"), (F.col("id") % 37).cast("string")).alias("txt1"),
+    )
+    path = str(tmp_path_factory.mktemp("golden") / "corpus.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return df, f"{path}/*.parquet"
+
+
+def _duck_facet(path, interval, zone, dfield, multi=False):
+    """DuckDB oracle for a distinct date facet in the fixtures' form:
+    pre_zone + pre_zone_adjust_large_interval=true (shift back)."""
+    # normalize the parquet timestamp to an instant first
+    # (to_timestamp → TIMESTAMPTZ) so the oracle is independent of
+    # whether DuckDB reads the column as naive-UTC or TIMESTAMPTZ
+    src = (
+        f"(SELECT to_timestamp(epoch_ms(datetime) / 1000.0) AS dt, * "
+        f"FROM read_parquet('{path}'))"
+    )
+    if multi:
+        src = f"(SELECT unnest({dfield}) AS {dfield}, dt FROM {src})"
+    rows = duckdb.sql(
+        f"""
+        SELECT epoch_ms(date_trunc('{interval}', dt AT TIME ZONE '{zone}')
+                        AT TIME ZONE '{zone}') AS t,
+               count({dfield}) AS c, count(DISTINCT {dfield}) AS d
+        FROM {src} GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    total = duckdb.sql(
+        f"SELECT count({dfield}), count(DISTINCT {dfield}) FROM {src}"
+    ).fetchall()[0]
+    return {
+        "_type": "distinct_date_facet",
+        "count": total[0],
+        "distinct_count": total[1],
+        "entries": [
+            {"time": t, "count": c, "distinct_count": d} for t, c, d in rows
+        ],
+    }
+
+
+CASES = [
+    ("minute_interval_unbounded_string", "minute", "abac", False),
+    ("minute_interval_unbounded_long", "minute", "aardvark", False),
+    ("hour_interval_unbounded_double", "hour", "aam", False),
+    ("hour_interval_unbounded_double_list", "hour", "Ababdeh_list", True),
+    ("day_interval_kolkata_unbounded_boolean", "day", "aardwolf", False),
+    ("day_interval_london_unbounded_boolean", "day", "aardwolf", False),
+]
+
+
+@needs_fixtures
+@pytest.mark.parametrize("stem,interval,dfield,multi", CASES)
+def test_replay_distinct_exact(corpus, stem, interval, dfield, multi):
+    df, path = corpus
+    request = _load(f"{DE}/{stem}-REQUEST.json")
+    golden = _load(f"{DE}/{stem}-RESPONSE.json")["facets"]["histo"]
+
+    specs = parse_request(request)
+    (name, q), = specs.items()
+    assert name == "histo"
+    # parser parity with the fixture's knobs
+    assert q.key_field == "datetime" and q.distinct_field == dfield
+    assert q.interval == interval and q.exact_threshold == 10_000_000
+    assert q.pre_zone_adjust_large_interval is True
+    zone = q.pre_zone
+
+    # facet-level count + distinct_count (always present in the
+    # reference response) come from the rollup-totals row
+    import dataclasses
+
+    got = facet_response(dataclasses.replace(q, totals=True).run(df), as_json=False)
+
+    # (a) golden SHAPE: field-for-field key structure of the stored
+    # RESPONSE — the same check MediumDataSetTest does, minus the
+    # values only its out-of-band 489k index can produce
+    assert set(got) == set(golden)
+    assert got["_type"] == golden["_type"]
+    assert set(got["entries"][0]) == set(golden["entries"][0])
+
+    # (b) golden VALUES vs the independent oracle on the same corpus
+    exp = _duck_facet(path, interval, zone, dfield, multi)
+    assert got == exp
+
+
+@needs_fixtures
+def test_replay_term_list(corpus):
+    df, path = corpus
+    request = _load(f"{FIXDIR}/TermListFacetTest.json")
+    (name, q), = parse_request(request).items()
+    assert name == "term_list_facet" and q.mode == "collector"
+    assert q.key_field == "txt1" and q.max_per_shard == 100
+    got = term_list_response(q.run(df.coalesce(1)))
+    exp = {
+        r[0] for r in duckdb.sql(f"SELECT DISTINCT txt1 FROM read_parquet('{path}')").fetchall()
+    }
+    assert got["_type"] == "term_list"
+    assert set(got["entries"]) == exp  # 37 distinct < 100 cap
+
+
+@needs_fixtures
+def test_replay_term_list_post_mode_rejects_sample(corpus):
+    request = _load(f"{FIXDIR}/TermListFacetTestPostMode.json")
+    (_, q), = parse_request(request).items()
+    assert q.mode == "post"

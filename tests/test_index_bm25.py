@@ -160,6 +160,15 @@ def test_assign_doc_ids_dense_and_partitioning_invariant(spark, sf_dir):
     map_a = {(r["source"], r["text"]): r["doc_id"] for r in a.collect()}
     map_b = {(r["source"], r["text"]): r["doc_id"] for r in b.collect()}
     assert map_a == map_b  # identical at any input partitioning
+    # ids are also invariant to the bucket count (top-bit bucketing
+    # realizes ONE global order: unsigned hash, then key) — so the
+    # auto-scaled default can change with input size without renumbering
+    c = assign_doc_ids(docs.drop("doc_id"), ["source", "text"], n_buckets=32)
+    map_c = {(r["source"], r["text"]): r["doc_id"] for r in c.collect()}
+    assert map_a == map_c
+    d = assign_doc_ids(docs.drop("doc_id"), ["source", "text"])  # auto buckets
+    map_d = {(r["source"], r["text"]): r["doc_id"] for r in d.collect()}
+    assert map_a == map_d
 
 
 def test_persisted_index_prunes_buckets(index, spark, tmp_path):
