@@ -96,22 +96,50 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     extras["bm25_qps_batch400"] = round(400 / t, 2)
 
     # block-max WAND prune path (results provably identical). Pruning
-    # wins when ranges are many (the 100 TB regime); sf0.1's coarse
-    # index has ~10 ranges, so compare exhaustive vs pruned on a
-    # finer-grained index (range_bits=4 → ~16 docs/range) and report
-    # the measured skip rate.
-    fine = build_index(toks, range_bits=4)
+    # wins when ranges are many and queries mix selective and hot
+    # terms: τ is set by docs holding the rare terms, and ranges that
+    # can only offer the hot term's bound fall below it. The documents
+    # table has a 31-term vocabulary (no rare terms exist → nothing
+    # CAN prune, on any engine), so this comparison runs on the
+    # Zipf-vocabulary synthetic source-code corpus: 20k files, 256
+    # hash ranges, 2-rare+1-hot queries.
+    wcorpus = generate_corpus(spark, 20000)
+    wtoks = wcorpus.select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    fine = build_index(wtoks, range_bits=55)  # 256 hash ranges
     fine.postings = fine.postings.persist()
     fine.dictionary = fine.dictionary.persist()
     fine.postings.count()
-    t, _ = _timed(lambda: score_queries(fine, qs, 10).count())
-    timings["bm25_fine_exhaustive"] = round(t, 3)
-    prune_stats: dict = {}
-    t, _ = _timed(lambda: score_queries(fine, qs, 10, prune=True, stats=prune_stats).count())
-    timings["bm25_fine_pruned"] = round(t, 3)
+    dict_rows = (
+        fine.dictionary.filter(~F.col("term").startswith("uniq_"))
+        .orderBy(F.asc("df"), "term")
+        .collect()
+    )
+    rare = [r["term"] for r in dict_rows[:400]]
+    hot = [r["term"] for r in dict_rows[-50:]]
+    rngp = np.random.default_rng(13)
+    qs_mix = [
+        (
+            i,
+            [rare[int(j)] for j in rngp.integers(0, len(rare), 2)]
+            + [hot[int(rngp.integers(0, len(hot)))]],
+        )
+        for i in range(N_BM25_QUERIES)
+    ]
+    t, _ = _timed(lambda: score_queries(fine, qs_mix, 10).count())
+    timings["bm25_wand_exhaustive"] = round(t, 3)
+    t, _ = _timed(lambda: score_queries(fine, qs_mix, 10, prune=True).count())
+    timings["bm25_wand_pruned"] = round(t, 3)
+    prune_stats: dict = {}  # skip-rate accounting outside the timed run
+    score_queries(fine, qs_mix, 10, prune=True, stats=prune_stats).count()
     extras["bm25_prune_skip_rate"] = prune_stats.get("skip_rate", 0.0)
     fine.postings.unpersist()
     fine.dictionary.unpersist()
+    wtoks.unpersist()
 
     t, _ = _timed(
         lambda: date_facet(

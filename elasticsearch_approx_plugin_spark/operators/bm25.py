@@ -100,6 +100,77 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int):
     return score_group
 
 
+def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int):
+    """One query's block-max WAND walk, inside a single task.
+
+    Ranges visit in (ub desc, range_id asc) order; a running top-k
+    threshold τ stops the walk at the first range whose metadata bound
+    cannot reach τ (later ranges have smaller bounds still) — its
+    varints are never decoded. Per visited range, scoring is the same
+    vectorized sorted-term accumulation as the exhaustive scorer, so
+    per-doc scores are bit-identical and the final top-k equals the
+    exhaustive result (τ compares with the rounding-grid slack; only
+    over-includes). Emits the per-query (ranges_total, ranges_scored)
+    skip accounting on every output row.
+    """
+    slack = 10.0 ** (-SCORE_DECIMALS)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        ubs = (
+            pdf.assign(contrib=pdf["idf"] * pdf["max_tfnorm"])
+            .groupby("range_id")["contrib"]
+            .sum()
+            .sort_index()
+        )
+        order = sorted(ubs.index, key=lambda r: (-ubs[r], r))
+        by_range = dict(tuple(pdf.groupby("range_id", sort=False)))
+        best_ids = np.empty(0, dtype=np.int64)
+        best_scores = np.empty(0, dtype=np.float64)
+        tau = -np.inf
+        scored = 0
+        for rid in order:
+            if best_ids.size >= k and ubs[rid] < tau - slack:
+                break  # bounds are sorted — nothing below can win
+            scored += 1
+            qpdf = by_range[rid].sort_values("term", kind="stable")
+            ids_parts, contrib_parts = [], []
+            for term, idf, doc_b, tf_b, dl_b in zip(
+                qpdf["term"], qpdf["idf"], qpdf["doc_ids"], qpdf["tfs"], qpdf["dls"]
+            ):
+                doc_ids = delta_varint_decode(doc_b)
+                tfs = varint_decode(tf_b).astype(np.float64)
+                dls = varint_decode(dl_b).astype(np.float64)
+                ids_parts.append(doc_ids)
+                contrib_parts.append(
+                    idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                )
+            all_ids = np.concatenate(ids_parts)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            scores = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(scores, inv, np.concatenate(contrib_parts))
+            scores = np.round(scores, SCORE_DECIMALS)
+            # merge into the running top-k (ranges partition docs, so
+            # no doc appears twice)
+            best_ids = np.concatenate([best_ids, uniq.astype(np.int64)])
+            best_scores = np.concatenate([best_scores, scores])
+            sel = _topk_select(best_ids, best_scores, k)
+            best_ids, best_scores = best_ids[sel], best_scores[sel]
+            if best_ids.size >= k:
+                tau = best_scores.min()
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": best_ids,
+                "score": best_scores,
+                "ranges_total": len(order),
+                "ranges_scored": scored,
+            }
+        )
+
+    return score_group
+
+
 def score_queries(
     index: InvertedIndex,
     queries: list[tuple[int, list[str]]],
@@ -112,15 +183,19 @@ def score_queries(
     The query-term table is tiny → broadcast; the postings scan is
     filtered by ``term IN (...)`` (pushed to parquet row groups).
 
-    ``prune=True`` enables the block-max skip (WAND's safe pruning at
-    doc-range granularity): every (query, range) has the JVM-computed
-    upper bound ``Σ idf·max_tfnorm`` — phase A scores only each query's
-    highest-bound range to establish a threshold τ (its k-th score);
-    phase B decodes only ranges with ub > τ. Safe: a skipped range
-    cannot contain a top-k doc by construction, so results are
-    identical to the exhaustive path (asserted in tests). Worth it when
-    ranges are many and selective (large corpora / rare terms); the
-    exhaustive path has lower latency on small indexes, hence the flag.
+    ``prune=True`` enables block-max WAND (document-at-a-time with
+    safe skipping at doc-range granularity), ONE job: postings group
+    by query (instead of range), and inside the task each query's
+    ranges are visited in descending upper-bound order
+    (ub = Σ idf·max_tfnorm, from metadata — no decode) with a running
+    top-k threshold τ; the first range whose ub falls below τ ends the
+    walk — no later range can hold a winner, and its varints are never
+    decoded. Results are identical to the exhaustive path (asserted in
+    tests; τ compares with the score-rounding slack, so pruning only
+    ever over-includes). Same shuffle volume as exhaustive, strictly
+    less decode; parallelism = queries × 1 task, so it is the BATCH
+    serving shape (the exhaustive path parallelizes a single query
+    across ranges and stays the low-latency choice on small indexes).
     """
     spark = index.postings.sparkSession
     terms = sorted({t for _, ts in queries for t in ts})
@@ -154,69 +229,23 @@ def score_queries(
     out_schema = "query_id long, doc_id long, score double"
 
     if prune:
-        matched = matched.persist()
-        # upper bound per (query, range) — pure Catalyst, no decode
-        bounds = matched.groupBy("query_id", "range_id").agg(
-            F.sum(F.col("idf") * F.col("max_tfnorm")).alias("ub")
+        wand = _make_wand_scorer(index.k1, index.b, index.avgdl, k)
+        local = matched.groupBy("query_id").applyInPandas(
+            wand, out_schema + ", ranges_total long, ranges_scored long"
         )
-        wb = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("range_id"))
-        best = bounds.withColumn("r", F.row_number().over(wb)).filter("r = 1")
-        phase_a = (
-            matched.join(
-                F.broadcast(best.select("query_id", "range_id")),
-                ["query_id", "range_id"],
-                "left_semi",
-            )
-            .groupBy("range_id")
-            .applyInPandas(scorer, out_schema)
-        )
-        # τ per query = k-th best score of its densest range (tiny collect)
-        wt = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        tau_rows = (
-            phase_a.withColumn("r", F.row_number().over(wt))
-            .filter(F.col("r") == k)
-            .select("query_id", "score")
-            .collect()
-        )
-        tau = {r["query_id"]: r["score"] for r in tau_rows}
-        spark2 = matched.sparkSession
-        tau_df = F.broadcast(
-            spark2.createDataFrame(
-                [(qid, tau.get(qid, float("-inf"))) for qid, _ in queries],
-                "query_id long, tau double",
-            )
-        )
-        # phase B: only ranges whose bound can reach τ (skip the rest
-        # without ever decoding a varint). >= not >: a range with
-        # ub == τ can still hold docs tying at τ that win the doc_id
-        # tie-break (including the range that produced τ itself).
-        # Phase A ranges re-score — idempotent deterministic scores.
-        # τ carries SCORE_DECIMALS rounding (can exceed the exact bound
-        # by half an ulp of the rounding grid when a doc attains the
-        # bound exactly) → compare with that slack; only over-includes.
-        slack = 10.0 ** (-SCORE_DECIMALS)
-        survivors = (
-            bounds.join(tau_df, "query_id").filter(
-                F.col("ub") >= F.col("tau") - F.lit(slack)
-            )
-        )
-        local = (
-            matched.join(
-                F.broadcast(survivors.select("query_id", "range_id")),
-                ["query_id", "range_id"],
-                "left_semi",
-            )
-            .groupBy("range_id")
-            .applyInPandas(scorer, out_schema)
-        )
-        if stats is not None:  # opt-in skip-rate accounting (cheap: bounds is tiny)
-            total = bounds.count()
-            scored = survivors.count()
+        if stats is not None:  # opt-in skip accounting (rows are only q×k)
+            local = local.persist()
+            rows = local.dropDuplicates(["query_id"]).select(
+                "ranges_total", "ranges_scored"
+            ).collect()
+            total = sum(r["ranges_total"] for r in rows)
+            scored = sum(r["ranges_scored"] for r in rows)
             stats.update(
                 ranges_total=total,
                 ranges_scored=scored,
                 skip_rate=round(1.0 - scored / max(total, 1), 4),
             )
+        local = local.drop("ranges_total", "ranges_scored")
     else:
         local = matched.groupBy("range_id").applyInPandas(scorer, out_schema)
 
@@ -226,12 +255,9 @@ def score_queries(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
-    if prune:
-        # materialize the (≤ queries × k rows) result, release the
-        # matched-postings cache — a serving session must not
-        # accumulate per-query executor cache (ADVICE r1 #4)
+    if prune and stats is not None:
         result = result.localCheckpoint(eager=True)
-        matched.unpersist(blocking=False)
+        local.unpersist(blocking=False)
     return result
 
 

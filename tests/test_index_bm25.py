@@ -117,7 +117,7 @@ def test_blockmax_prune_equals_exhaustive(index, sf_dir):
         .collect()
     ]
     assert pruned == _oracle(sf_dir, QUERIES, K)
-    # k=1 exercises the τ-from-densest-range path hardest
+    # k=1 tightens τ fastest — exercises the early-exit hardest
     p1 = [
         tuple(r)
         for r in score_queries(index, QUERIES, 1, prune=True)
@@ -183,3 +183,44 @@ def test_persisted_index_prunes_buckets(index, spark, tmp_path):
     )
     assert "PartitionFilters: [bucket" in plan  # bucket dirs pruned at scan
     assert q.count() > 0
+
+
+def test_wand_prunes_and_matches_exhaustive_on_zipf_corpus(spark):
+    """On a corpus where rare terms exist, the WAND walk must actually
+    SKIP ranges (skip_rate > 0.5 with 2-rare+1-hot queries over 64
+    hash ranges) while staying rank- and score-identical to the
+    exhaustive path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 4000).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    idx = build_index(toks, range_bits=57)  # 64 hash ranges
+    idx.postings = idx.postings.persist()
+    rows = (
+        idx.dictionary.filter(~F.col("term").startswith("uniq_"))
+        .orderBy(F.asc("df"), "term")
+        .collect()
+    )
+    rare = [r["term"] for r in rows[:200]]
+    hot = [r["term"] for r in rows[-20:]]
+    rng = np.random.default_rng(5)
+    qs = [
+        (i, [rare[int(j)] for j in rng.integers(0, len(rare), 2)]
+            + [hot[int(rng.integers(0, len(hot)))]])
+        for i in range(10)
+    ]
+    exhaustive = sorted(tuple(r) for r in score_queries(idx, qs, 10).collect())
+    st: dict = {}
+    pruned = sorted(tuple(r) for r in score_queries(idx, qs, 10, prune=True, stats=st).collect())
+    assert pruned == exhaustive
+    assert st["skip_rate"] > 0.5, st
+    toks.unpersist()
+    idx.postings.unpersist()
