@@ -211,6 +211,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["date_facet_quarter"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "quarter"
     ).select(_ms(), F.col("count").alias("cnt"))
+    # numeric epoch-seconds key via the builder's factor knob
+    q["date_facet_factor"] = lambda spark, sf: date_facet(
+        _events(spark, sf).select(
+            (F.unix_millis(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("secs")
+        ),
+        "secs", "day", factor=1000,
+    ).select(_ms(), F.col("count").alias("cnt"))
+    # post_zone shifts the bucket LABEL (not the instant)
+    q["date_facet_postzone"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", post_zone="+02:00"
+    ).select(_ms(), F.col("count").alias("cnt"))
     q["date_facet_week"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "week"
     ).select(_ms(), F.col("count").alias("cnt"))
@@ -258,6 +269,24 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.5
     )
     q["simhash"] = lambda spark, sf: simhash(_tokens(spark, sf), "tokens", "doc_id")
+
+    # connected components over near-dup pairs (keep-list machinery):
+    # deterministic pair set (exact Jaccard) → (id, component) vs a
+    # DuckDB recursive-CTE transitive closure
+    def _components(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = ngram_jaccard_pairs(
+            _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.3
+        )
+        return connected_components(pairs).select(
+            F.col("id").cast("long").alias("id"),
+            F.col("component").cast("long").alias("component"),
+        )
+
+    q["connected_components"] = _components
     q["embedding_cosine_dedup"] = lambda spark, sf: embedding_cosine_dedup(
         spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id < 150"),
         threshold=0.3,
@@ -374,8 +403,7 @@ SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
 FROM scores QUALIFY rank <= {K}
 """
 
-_SHINGLES = """
-WITH d AS (
+_PAIRS_CTES = """d AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
   FROM documents WHERE doc_id < 300
 ),
@@ -389,11 +417,36 @@ sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b, round(common / (za.sz + zb.sz - common), 6) AS jaccard
+  FROM pairs JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+  WHERE round(common / (za.sz + zb.sz - common), 6) >= {threshold}
+)"""
+
+_SHINGLES = (
+    "WITH " + _PAIRS_CTES.format(threshold=0.5)
+    + "\nSELECT id_a, id_b, jaccard FROM jpairs"
 )
-SELECT id_a, id_b, round(common / (za.sz + zb.sz - common), 6) AS jaccard
-FROM pairs JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
-WHERE round(common / (za.sz + zb.sz - common), 6) >= 0.5
+
+# connected components over the exact-Jaccard pair graph: transitive
+# closure by recursive CTE, component = min reachable id
+_COMPONENTS = (
+    "WITH RECURSIVE " + _PAIRS_CTES.format(threshold=0.3)
+    + """,
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM jpairs
+  UNION SELECT id_b, id_a FROM jpairs
+),
+reach(a, b) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s
+)
+SELECT a::BIGINT AS id, least(a, min(b))::BIGINT AS component
+FROM reach GROUP BY a
 """
+)
 
 _LANGS = {
     "de": ("der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"),
@@ -489,6 +542,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": "SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)",
         "ngram_jaccard": _SHINGLES,
+        "connected_components": _COMPONENTS,
+        "date_facet_factor": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
+        "FROM events GROUP BY 1",
+        "date_facet_postzone": f"SELECT {ev_day} + 7200000 AS time_ms, count(*) AS cnt "
+        "FROM events GROUP BY 1",
         "embedding_cosine_dedup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
