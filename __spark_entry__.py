@@ -352,6 +352,111 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score",
     )
 
+    # -- semantic checks for the approximate operators -----------------------
+    # Each approximate/no-oracle operator also ships a CHECK gate: the
+    # operator runs for real, its semantic contract (subset of the
+    # exact result, recall floor, self-hit, tolerance) is evaluated
+    # in-Spark, and the boolean outcome hash-checks against an oracle
+    # of constants — the same discipline as the `tipped` gate.
+
+    def _approx_check(spark, sf):
+        ev = _events(spark, sf)
+        a = date_facet(
+            ev, "ts", "day", distinct_field="user_id",
+            exact_threshold=0, distinct_method="hybrid",
+        ).select("time", F.col("count").alias("cnt"), F.col("distinct_count").alias("approx_d"))
+        e = date_facet(ev, "ts", "day", distinct_field="user_id", distinct_method="exact")
+        return (
+            a.join(e.select("time", F.col("distinct_count").alias("exact_d")), "time")
+            .select(
+                _ms(), "cnt",
+                (F.abs(F.col("approx_d") - F.col("exact_d")) <= F.col("exact_d") * 0.05)
+                .cast("long").alias("ok"),
+            )
+        )
+
+    q["date_facet_distinct_approx_check"] = _approx_check
+
+    def _minhash_check(spark, sf):
+        toks = _tokens(spark, sf).filter("doc_id < 300")
+        mh = minhash_lsh_dedup(toks, "tokens", "doc_id", threshold=0.5)
+        ex = ngram_jaccard_pairs(toks, "tokens", "doc_id", threshold=0.5).persist()
+        subset_ok = mh.join(ex, ["id_a", "id_b"], "left_anti").count() == 0
+        hi = ex.filter(F.col("jaccard") >= 0.8)
+        n_hi = hi.count()
+        n_hit = hi.join(mh, ["id_a", "id_b"], "left_semi").count()
+        n_ex = ex.count()
+        ex.unpersist(blocking=False)
+        return spark.createDataFrame(
+            [(int(subset_ok), int(n_hi == 0 or n_hit / n_hi >= 0.9), n_ex)],
+            "subset_ok long, recall_ok long, n_exact long",
+        )
+
+    q["minhash_lsh_check"] = _minhash_check
+
+    def _ann_lsh_check(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = _queries_vecs(spark, sf)
+        exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qs, 10).collect()}
+        rows = lsh_cosine_topk(emb, qs, 10, n_planes=4, n_tables=8).collect()
+        approx = {(r["query_id"], r["vec_id"]) for r in rows}
+        top1 = {(r["query_id"], r["vec_id"]) for r in rows if r["rank"] == 1}
+        self_hit = top1 == {(qid, qid) for qid, _ in qs}
+        recall = len(approx & exact) / max(len(exact), 1)
+        return spark.createDataFrame(
+            [(int(self_hit), int(recall >= 0.4))], "self_hit_ok long, recall_ok long"
+        )
+
+    q["ann_lsh_check"] = _ann_lsh_check
+
+    def _ann_ivf_check(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.ann import (
+            ivf_build,
+            ivf_cosine_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = _queries_vecs(spark, sf)
+        assigned, cents = ivf_build(emb, n_lists=8, n_iters=2)
+        assigned = assigned.persist()
+        assigned_ok = assigned.count() == emb.count()
+        exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qs, 10).collect()}
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_cosine_topk(assigned, cents, qs, 10, nprobe=4).collect()
+        }
+        assigned.unpersist(blocking=False)
+        recall = len(got & exact) / max(len(exact), 1)
+        return spark.createDataFrame(
+            [(int(assigned_ok), int(recall >= 0.5))], "assigned_ok long, recall_ok long"
+        )
+
+    q["ann_ivf_check"] = _ann_ivf_check
+
+    def _emb_lsh_check(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id < 150")
+        exh = embedding_cosine_dedup(emb, 0.3, exhaustive=True)
+        lsh = embedding_cosine_dedup(emb, 0.3, n_planes=4, n_tables=8)
+        subset_ok = lsh.join(exh, ["id_a", "id_b"], "left_anti").count() == 0
+        nonempty = lsh.count() > 0
+        return spark.createDataFrame(
+            [(int(subset_ok), int(nonempty))], "subset_ok long, nonempty_ok long"
+        )
+
+    q["embedding_cosine_dedup_lsh_check"] = _emb_lsh_check
+
+    def _term_list_sampled_check(spark, sf):
+        toks = _tokens(spark, sf)
+        sampled = term_list(toks, "tokens", sample=0.3, seed=0)
+        full = term_list(toks, "tokens", max_per_partition=None)
+        subset_ok = sampled.join(full, "term", "left_anti").count() == 0
+        nonempty = sampled.count() > 0
+        return spark.createDataFrame(
+            [(int(subset_ok), int(nonempty))], "subset_ok long, nonempty_ok long"
+        )
+
+    q["term_list_sampled_check"] = _term_list_sampled_check
+
     # -- generic OLAP parity (scan→filter→agg→sort pipeline) -----------------
     q["lineitem_pricing_summary"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -543,6 +648,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents GROUP BY md5(text)",
         "ngram_jaccard": _SHINGLES,
         "connected_components": _COMPONENTS,
+        # semantic-check gates: the operator's contract evaluated
+        # in-Spark, hash-checked against oracle constants (n_exact is
+        # recomputed independently by DuckDB)
+        "date_facet_distinct_approx_check": f"SELECT {ev_day} AS time_ms, "
+        "count(user_id) AS cnt, 1::BIGINT AS ok FROM events GROUP BY 1",
+        "minhash_lsh_check": "WITH " + _PAIRS_CTES.format(threshold=0.5)
+        + " SELECT 1::BIGINT AS subset_ok, 1::BIGINT AS recall_ok, "
+        "count(*)::BIGINT AS n_exact FROM jpairs",
+        "ann_lsh_check": "SELECT 1::BIGINT AS self_hit_ok, 1::BIGINT AS recall_ok",
+        "ann_ivf_check": "SELECT 1::BIGINT AS assigned_ok, 1::BIGINT AS recall_ok",
+        "embedding_cosine_dedup_lsh_check": "SELECT 1::BIGINT AS subset_ok, "
+        "1::BIGINT AS nonempty_ok",
+        "term_list_sampled_check": "SELECT 1::BIGINT AS subset_ok, "
+        "1::BIGINT AS nonempty_ok",
         "date_facet_factor": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY 1",
         "date_facet_postzone": f"SELECT {ev_day} + 7200000 AS time_ms, count(*) AS cnt "
@@ -579,7 +698,14 @@ FROM scored QUALIFY rank <= 10
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue, count(*) AS cnt "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2",
-        # no oracle (non-SQL-expressible / hash- or sample-dependent):
-        # date_facet_distinct_approx, term_list_sampled, minhash_lsh_dedup,
-        # simhash, ann_lsh_topk, corpus_lang_histogram
+        # the synthetic corpus is a pure function of (SEED=42, row
+        # index) — the 300-row lang histogram is a golden constant
+        "corpus_lang_histogram": "SELECT * FROM (VALUES ('py', 110::BIGINT), "
+        "('java', 81::BIGINT), ('js', 37::BIGINT), ('c', 36::BIGINT), "
+        "('go', 20::BIGINT), ('md', 16::BIGINT)) AS t(lang, cnt)",
+        # no direct value oracle (hash- or sample-valued); each has a
+        # *_check gate above verifying its semantic contract instead:
+        # date_facet_distinct_approx, term_list_sampled,
+        # minhash_lsh_dedup, simhash, ann_lsh_topk, ann_ivf_topk,
+        # embedding_cosine_dedup_lsh
     }
