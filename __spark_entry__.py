@@ -457,6 +457,42 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_list_sampled_check"] = _term_list_sampled_check
 
+    # -- streaming: the SAME facet semantics through Structured
+    # Streaming (parquet source, availableNow, complete-mode memory
+    # sink) hash-checked against the batch oracle
+    def _streaming_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.streaming.facets import (
+            streaming_date_facet,
+        )
+
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        # the events table is a single parquet file; FileStreamSource
+        # requires a directory → stream the parent with a glob filter
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        out = streaming_date_facet(stream, "ts", "day")
+        name = "stream_facet_gate"
+        for active in spark.streams.active:
+            if active.name == name:
+                active.stop()
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(name).select(
+            F.unix_millis(F.col("time").cast("timestamp")).alias("time_ms"),
+            F.col("cnt"),
+        )
+
+    q["streaming_date_facet"] = _streaming_facet
+
     # -- generic OLAP parity (scan→filter→agg→sort pipeline) -----------------
     q["lineitem_pricing_summary"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -662,6 +698,8 @@ def oracle_sql() -> dict[str, str]:
         "1::BIGINT AS nonempty_ok",
         "term_list_sampled_check": "SELECT 1::BIGINT AS subset_ok, "
         "1::BIGINT AS nonempty_ok",
+        "streaming_date_facet": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
+        "FROM events GROUP BY 1",
         "date_facet_factor": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY 1",
         "date_facet_postzone": f"SELECT {ev_day} + 7200000 AS time_ms, count(*) AS cnt "
