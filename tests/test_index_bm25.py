@@ -224,3 +224,29 @@ def test_wand_prunes_and_matches_exhaustive_on_zipf_corpus(spark):
     assert st["skip_rate"] > 0.5, st
     toks.unpersist()
     idx.postings.unpersist()
+
+
+def test_score_queries_edges_both_paths(index):
+    """Unknown terms, k ≫ corpus, duplicate terms — exhaustive and
+    WAND paths agree on all of them."""
+    edge_queries = [
+        (0, ["zzz_not_a_term"]),                 # no posting at all
+        (1, ["hash", "zzz_not_a_term"]),         # partial match
+        (2, ["hash", "hash", "join", "join"]),   # duplicate terms
+        (3, ["table"]),
+    ]
+    big_k = 10_000  # k far above corpus size
+    a = sorted(tuple(r) for r in score_queries(index, edge_queries, big_k).collect())
+    b = sorted(
+        tuple(r) for r in score_queries(index, edge_queries, big_k, prune=True).collect()
+    )
+    assert a == b
+    qids = {r[0] for r in a}
+    assert 0 not in qids          # all-unknown query yields no rows
+    assert {1, 2, 3} <= qids
+    # duplicate terms count once (set semantics, like the reference's
+    # per-term query structure)
+    single = sorted(
+        tuple(r) for r in score_queries(index, [(2, ["hash", "join"])], big_k).collect()
+    )
+    assert single == sorted(t for t in a if t[0] == 2)
