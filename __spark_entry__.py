@@ -493,6 +493,56 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_date_facet"] = _streaming_facet
 
+    # custom stateful operator (applyInPandasWithState CountThenEstimate)
+    # under the gate: incremental result must equal the batch oracle
+    def _streaming_distinct(spark, sf):
+        from elasticsearch_approx_plugin_spark.streaming.sketch_state import (
+            streaming_distinct_facet,
+        )
+
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        out = streaming_distinct_facet(stream, "ts", "day", "user_id", exact_threshold=-1)
+        name = "stream_distinct_gate"
+        for active in spark.streams.active:
+            if active.name == name:
+                active.stop()
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # update mode re-emits a bucket per micro-batch that touched it;
+        # cnt/distinct_cnt are monotone (never-tip exact regime) → max = final
+        return (
+            spark.table(name)
+            .groupBy("time")
+            .agg(F.max("cnt").alias("cnt"), F.max("distinct_cnt").alias("distinct_cnt"))
+            .select(_ms(), "cnt", "distinct_cnt")
+        )
+
+    q["streaming_distinct_facet"] = _streaming_distinct
+
+    # end-to-end keep-list through the DISTRIBUTED components path
+    # (driver_max_pairs=0 forces it): survivors of the near-dup graph
+    def _keep_list(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.dedup import resolve_keep_list
+
+        docs = _docs(spark, sf).filter("doc_id < 300").select("doc_id")
+        pairs = ngram_jaccard_pairs(
+            _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.3
+        )
+        return resolve_keep_list(docs, pairs, "doc_id", driver_max_pairs=0)
+
+    q["dedup_keep_list"] = _keep_list
+
     # -- generic OLAP parity (scan→filter→agg→sort pipeline) -----------------
     q["lineitem_pricing_summary"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -700,6 +750,24 @@ def oracle_sql() -> dict[str, str]:
         "1::BIGINT AS nonempty_ok",
         "streaming_date_facet": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY 1",
+        "streaming_distinct_facet": f"SELECT {ev_day} AS time_ms, "
+        "count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
+        "FROM events GROUP BY 1",
+        "dedup_keep_list": "WITH RECURSIVE " + _PAIRS_CTES.format(threshold=0.3)
+        + """,
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM jpairs
+  UNION SELECT id_b, id_a FROM jpairs
+),
+reach(a, b) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s
+),
+drops AS (SELECT a AS id FROM reach GROUP BY a HAVING min(b) < a)
+SELECT doc_id FROM documents WHERE doc_id < 300
+  AND doc_id NOT IN (SELECT id FROM drops)
+""",
         "date_facet_factor": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY 1",
         "date_facet_postzone": f"SELECT {ev_day} + 7200000 AS time_ms, count(*) AS cnt "
