@@ -543,6 +543,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_list"] = _keep_list
 
+    # multimodal binary-column plumbing: opaque payload (utf-8 bytes of
+    # the doc text stand in for image bytes) → Arrow batch → numpy
+    # byte stats, hash-checked against DuckDB's view of the same bytes
+    def _multimodal_stats(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.multimodal import (
+            media_byte_stats,
+        )
+
+        media = _docs(spark, sf).select(
+            F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+        )
+        return media_byte_stats(media)
+
+    q["multimodal_byte_stats"] = _multimodal_stats
+
     # -- generic OLAP parity (scan→filter→agg→sort pipeline) -----------------
     q["lineitem_pricing_summary"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -750,6 +765,12 @@ def oracle_sql() -> dict[str, str]:
         "1::BIGINT AS nonempty_ok",
         "streaming_date_facet": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY 1",
+        # documents text is ASCII (verified) → byte values = code points
+        "multimodal_byte_stats": "SELECT doc_id AS media_id, "
+        "octet_length(encode(text))::BIGINT AS n_bytes, "
+        "round(list_aggregate(list_transform(regexp_extract_all(text, '[\\s\\S]'), "
+        "c -> unicode(c)), 'sum') / octet_length(encode(text)), 6) AS mean_val "
+        "FROM documents",
         "streaming_distinct_facet": f"SELECT {ev_day} AS time_ms, "
         "count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
         "FROM events GROUP BY 1",

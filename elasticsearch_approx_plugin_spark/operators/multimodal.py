@@ -48,6 +48,51 @@ def decode_image(payload: bytes):
     raise NotImplementedError("image codecs not available in this environment")
 
 
+def decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic FAKE decode: tile the payload bytes into an
+    (height, width, 3) uint8 pixel array. Stands in for PIL/libvips so
+    the full decode→resize→featurize plumbing is executable and
+    testable in this codec-less container; the array contract (shape,
+    dtype) is exactly what a real decoder returns."""
+    need = width * height * 3
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-need // max(buf.size, 1))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def resize_fake(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor subsample — the resize step's plumbing."""
+    h, w, _ = pixels.shape
+    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return pixels[yi][:, xi]
+
+
+def media_byte_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Opaque-binary ingest stats: (id, n_bytes, mean_val) per payload.
+
+    The canonical binary-column pattern: bytes ride parquet/Arrow
+    untouched, one numpy pass per batch, no Python object per byte.
+    ``mean_val`` is the mean byte value rounded to 6 decimals (the
+    cross-engine comparable the driver gate checks)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, mv = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                ids.append(i)
+                nb.append(buf.size)
+                mv.append(round(float(buf.sum()) / max(buf.size, 1), 6))
+            yield pd.DataFrame({id_col: ids, "n_bytes": nb, "mean_val": mv})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, f"{id_col} long, n_bytes long, mean_val double"
+    )
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for decode→embed: hash-seeded vector."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")

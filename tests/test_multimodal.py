@@ -43,3 +43,36 @@ def test_sample_frames(spark):
     for mid, dur in durations.items():
         assert per[mid] == dur // 250 + 1
     assert all(r["frame_ts_ms"] % 250 == 0 for r in rows)
+
+
+def test_fake_decode_resize_stats(spark):
+    """decode→resize→stats plumbing: array contracts hold, stats match
+    a direct computation, and determinism holds across partitionings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.operators.multimodal import (
+        decode_image_fake,
+        media_byte_stats,
+        resize_fake,
+        synth_media,
+    )
+
+    px = decode_image_fake(b"0123456789", 8, 6)
+    assert px.shape == (6, 8, 3) and px.dtype == np.uint8
+    small = resize_fake(px, 4, 3)
+    assert small.shape == (3, 4, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    assert set(small.reshape(-1).tolist()) <= set(px.reshape(-1).tolist())
+
+    media = synth_media(spark, 40)
+    got = {r["media_id"]: (r["n_bytes"], r["mean_val"]) for r in media_byte_stats(media).collect()}
+    rows = media.select("media_id", "payload").collect()
+    for r in rows:
+        buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        assert got[r["media_id"]] == (buf.size, round(float(buf.sum()) / buf.size, 6))
+    got2 = {
+        r["media_id"]: (r["n_bytes"], r["mean_val"])
+        for r in media_byte_stats(media.repartition(7)).collect()
+    }
+    assert got == got2
