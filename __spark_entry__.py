@@ -433,6 +433,28 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_check"] = _ann_ivf_check
 
+    def _simhash_check(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.dedup import simhash_candidates
+
+        toks = _tokens(spark, sf).filter("doc_id < 100")
+        planted = toks.filter("doc_id < 10").select(
+            (F.col("doc_id") + 5000).alias("doc_id"), "tokens"
+        )
+        both = toks.union(planted)
+        sigs = simhash(both, "tokens", "doc_id").persist()
+        by_id = {r["id"]: r["simhash"] for r in sigs.collect()}
+        identical_ok = all(by_id[i] == by_id[i + 5000] for i in range(10))
+        cand = {
+            (r["id_a"], r["id_b"]) for r in simhash_candidates(sigs).collect()
+        }
+        sigs.unpersist(blocking=False)
+        band_ok = all((i, i + 5000) in cand for i in range(10))
+        return spark.createDataFrame(
+            [(int(identical_ok), int(band_ok))], "identical_ok long, band_ok long"
+        )
+
+    q["simhash_check"] = _simhash_check
+
     def _emb_lsh_check(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id < 150")
         exh = embedding_cosine_dedup(emb, 0.3, exhaustive=True)
@@ -758,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT 1::BIGINT AS subset_ok, 1::BIGINT AS recall_ok, "
         "count(*)::BIGINT AS n_exact FROM jpairs",
         "ann_lsh_check": "SELECT 1::BIGINT AS self_hit_ok, 1::BIGINT AS recall_ok",
+        "simhash_check": "SELECT 1::BIGINT AS identical_ok, 1::BIGINT AS band_ok",
         "ann_ivf_check": "SELECT 1::BIGINT AS assigned_ok, 1::BIGINT AS recall_ok",
         "embedding_cosine_dedup_lsh_check": "SELECT 1::BIGINT AS subset_ok, "
         "1::BIGINT AS nonempty_ok",
