@@ -173,8 +173,8 @@ def _minhash_perms(num_hashes: int, seed: int = 42):
     return a, b
 
 
-def _minhash_sigs_np(pdf, num_hashes: int, seed: int = 42):
-    """(docs) pandas batch with ``shs`` lists → (n_docs, num_hashes)
+def _minhash_sigs_np(hs, num_hashes: int, seed: int = 42):
+    """Sequence of per-doc shingle-hash arrays → (n_docs, num_hashes)
     uint64 signature matrix. The ``num_hashes`` "permutations" are
     affine maps a_i·h + b_i over uint64 (wraparound) — the standard
     universal-hash MinHash family. One vectorized (shingles ×
@@ -185,8 +185,7 @@ def _minhash_sigs_np(pdf, num_hashes: int, seed: int = 42):
 
     a, b = _minhash_perms(num_hashes, seed)
     CHUNK_SHINGLES = 200_000  # bounds the (shingles × num_hashes) temp to ~100 MB
-    n_docs = len(pdf)
-    hs = pdf["shs"].to_numpy()
+    n_docs = len(hs)
     lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n_docs)
     flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).view(np.uint64)
     offsets = np.zeros(n_docs, dtype=np.int64)
@@ -213,38 +212,62 @@ def _sig_fn(num_hashes: int, seed: int = 42):
         for pdf in batches:
             if not len(pdf):
                 continue
-            sigs = _minhash_sigs_np(pdf, num_hashes, seed)
+            sigs = _minhash_sigs_np(pdf["shs"].to_numpy(), num_hashes, seed)
             yield pd.DataFrame({"id": pdf["id"], "sig": list(sigs.view(np.int64))})
 
     return fn
 
 
-def _banded_fn(num_hashes: int, bands: int, seed: int = 42):
-    """Signatures AND band buckets in ONE Arrow pass: emits
-    (id, band, bucket) — 16 rows/doc — so no second pass over sig
-    arrays and no per-band JVM hash expressions."""
+def _band_buckets_np(sigs, bands: int):
+    """(n_docs, num_hashes) uint64 signatures → (n_docs, bands) uint64
+    band buckets (rolling polynomial over each band's rows)."""
+    import numpy as np
+
+    n_docs, num_hashes = sigs.shape
+    r = num_hashes // bands
+    buckets = np.zeros((n_docs, bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.zeros(n_docs, dtype=np.uint64)
+        for j in range(r):
+            acc = acc * np.uint64(_POLY) + sigs[:, b * r + j]
+        buckets[:, b] = acc
+    return buckets
+
+
+def _shingle_sig_banded_fn(n: int, num_hashes: int, bands: int, seed: int = 42):
+    """ONE Arrow pass for the whole per-doc MinHash pipeline: token
+    hashes → rolling-poly window shingle hashes → per-doc distinct →
+    all ``num_hashes`` permutation minima → band buckets. Emits
+    (id, shs, buckets); band rows explode JVM-side (``posexplode`` of
+    a 16-element array — cheap), so the pipeline crosses Python
+    exactly once per row."""
     import numpy as np
     import pandas as pd
 
-    r = num_hashes // bands
+    P = np.uint64(_POLY)
+    powers = [np.uint64(1)]
+    for _ in range(n - 1):
+        powers.append(powers[-1] * P)
 
     def fn(batches):
         for pdf in batches:
-            n_docs = len(pdf)
-            if not n_docs:
+            if not len(pdf):
                 continue
-            sigs = _minhash_sigs_np(pdf, num_hashes, seed)
-            buckets = np.zeros((n_docs, bands), dtype=np.uint64)
-            for b in range(bands):
-                acc = np.zeros(n_docs, dtype=np.uint64)
-                for j in range(r):
-                    acc = acc * np.uint64(_POLY) + sigs[:, b * r + j]
-                buckets[:, b] = acc
+            shs_out = []
+            for lst in pdf["th"]:
+                t = np.asarray(lst, dtype=np.int64).view(np.uint64)
+                m = t.size - (n - 1)
+                acc = t[0:m] * powers[n - 1]
+                for k in range(1, n):
+                    acc = acc + t[k : m + k] * powers[n - 1 - k]
+                shs_out.append(np.unique(acc).view(np.int64))
+            sigs = _minhash_sigs_np(shs_out, num_hashes, seed)
+            buckets = _band_buckets_np(sigs, bands)
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"].to_numpy().repeat(bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int64), n_docs),
-                    "bucket": buckets.reshape(-1).view(np.int64),
+                    "id": pdf["id"],
+                    "shs": shs_out,
+                    "buckets": list(buckets.view(np.int64)),
                 }
             )
 
@@ -279,14 +302,19 @@ def minhash_lsh_dedup(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    # one (string-free) shingle-hash pass shared by the signature path
-    # and the verify path
-    shd = shingle_hashes(df.select(id_col, tokens_col), tokens_col, id_col, n).persist()
-    # banded feeds BOTH sides of the self-join → persist, or the whole
-    # signature pipeline evaluates twice per downstream action
-    banded = shd.mapInPandas(
-        _banded_fn(num_hashes, bands), "id long, band long, bucket long"
+    # ONE Arrow pass produces shingle-hash sets AND band buckets; both
+    # the banding self-join and the verify path read the cached result
+    th = F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
+    base = df.select(F.col(id_col).alias("id"), th.alias("th")).filter(
+        F.size(F.col(tokens_col)) >= n
+    )
+    enc = base.mapInPandas(
+        _shingle_sig_banded_fn(n, num_hashes, bands),
+        "id long, shs array<long>, buckets array<long>",
     ).persist()
+    banded = enc.select(
+        "id", F.posexplode("buckets").alias("band", "bucket")
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -298,7 +326,7 @@ def minhash_lsh_dedup(
     # verify candidates with exact Jaccard over shingle-hash sets
     # (already distinct per doc); the exploded table feeds two joins +
     # the size agg → persist
-    sh = shd.select("id", F.explode(F.col("shs")).alias("shingle")).persist()
+    sh = enc.select("id", F.explode(F.col("shs")).alias("shingle")).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # verify only candidate docs: semi-join slashes the shingle table
     # before the pairwise common-count join (candidates ≪ corpus)
@@ -326,7 +354,7 @@ def minhash_lsh_dedup(
     # four intermediates — a long-lived session serving many dedup
     # calls must not accumulate executor cache (ADVICE r1 #4)
     result = result.localCheckpoint(eager=True)
-    for cached in (shd, banded, cand, sh):
+    for cached in (enc, cand, sh):
         cached.unpersist(blocking=False)
     return result
 
