@@ -142,10 +142,9 @@ def shingle_hashes(
     base = df.select(F.col(id_col).alias("id"), th.alias("th")).filter(
         F.size(F.col(tokens_col)) >= n
     )
-    P = np.uint64(_POLY)
-    powers = [np.uint64(1)]  # wraparound powers of P (scalar ** would go float64)
-    for _ in range(n - 1):
-        powers.append(powers[-1] * P)
+    # wraparound powers of P via exact Python ints (numpy scalar
+    # multiply warns on overflow even though it wraps correctly)
+    powers = [np.uint64(pow(_POLY, k, 1 << 64)) for k in range(n)]
 
     def fn(batches):
         for pdf in batches:
@@ -244,10 +243,9 @@ def _shingle_sig_banded_fn(n: int, num_hashes: int, bands: int, seed: int = 42):
     import numpy as np
     import pandas as pd
 
-    P = np.uint64(_POLY)
-    powers = [np.uint64(1)]
-    for _ in range(n - 1):
-        powers.append(powers[-1] * P)
+    # wraparound powers of P via exact Python ints (numpy scalar
+    # multiply warns on overflow even though it wraps correctly)
+    powers = [np.uint64(pow(_POLY, k, 1 << 64)) for k in range(n)]
 
     def fn(batches):
         for pdf in batches:
