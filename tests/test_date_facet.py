@@ -240,3 +240,32 @@ def test_sketch_agg_any_negative_threshold_never_tips(spark):
     for th in (-1, -2, -100):
         row = sketch_agg(df, [], "v", exact_threshold=th).collect()[0]
         assert row["distinct_count"] == 500 and not row["tipped"]
+
+
+def _formatted_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_facet_plan_pushdown_and_pruning(events):
+    """The counting facet's scan must read ONLY the key column and push
+    the null filter into parquet — the 100 TB contract."""
+    plan = _formatted_plan(date_facet(events, "ts", "day"))
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "ts" in read_schema and "user_id" not in read_schema and "props" not in read_schema
+    assert "MapInPandas" not in plan  # counting mode is pure Catalyst
+
+
+def test_term_list_uncapped_stays_jvm(spark, sf_dir_med):
+    """max_per_partition=None must NOT route through the Python capping
+    pass (VERDICT r1 finding #5)."""
+    from elasticsearch_approx_plugin_spark.operators.term_list import term_list
+
+    docs = spark.read.parquet(f"{sf_dir_med}/documents.parquet")
+    fast = _formatted_plan(term_list(docs, "source", max_per_partition=None))
+    assert "MapInPandas" not in fast
+    capped = _formatted_plan(term_list(docs, "source", max_per_partition=10))
+    assert "MapInPandas" in capped
