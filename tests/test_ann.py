@@ -176,3 +176,30 @@ def test_lsh_topk_dim768_recall(spark):
     for q in range(3):
         assert q in by_q[q]  # self-hit: identical vector shares every bucket
         assert 1000 + q in by_q[q]  # planted near-dup found
+
+
+def test_ivf_build_dim768(spark):
+    """IVF k-means at a realistic embedding dim: the partial-sum build
+    must not blow up in plan size or driver memory (round-1's version
+    ran per-dimension avg aggregates — 768 agg columns)."""
+    import numpy as np
+
+    from elasticsearch_approx_plugin_spark.operators.ann import ivf_build
+
+    dim, n = 768, 240
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(6)
+    assigned, cents = ivf_build(df, n_lists=6, n_iters=2)
+    assert cents.shape == (6, dim)
+    rows = assigned.collect()
+    assert len(rows) == n
+    assert {r["list_id"] for r in rows} <= set(range(6))
+    # assignment is nearest-centroid (verify a sample against numpy)
+    for r in rows[:20]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        d = ((cents - v) ** 2).sum(axis=1)
+        assert int(d.argmin()) == r["list_id"]
