@@ -26,14 +26,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--query", action="append", required=True, help="space-separated terms")
+    ap.add_argument("--query", action="append", help="space-separated terms")
+    ap.add_argument("--queries-file", help="one query per line (batch serving shape)")
+    ap.add_argument(
+        "--prune",
+        action="store_true",
+        help="document-at-a-time block-max WAND (identical results; wins on "
+        "large indexes / query batches)",
+    )
     args = ap.parse_args()
+    if not args.query and not args.queries_file:
+        ap.error("need --query and/or --queries-file")
 
     spark = get_spark(app_name="query_index_job")
     index = read_index(spark, args.index)
-    queries = [(i, q.split()) for i, q in enumerate(args.query)]
+    texts = list(args.query or [])
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            texts += [line.strip() for line in f if line.strip()]
+    queries = [(i, q.split()) for i, q in enumerate(texts)]
     t0 = time.time()
-    rows = score_queries(index, queries, args.k).collect()
+    rows = score_queries(index, queries, args.k, prune=args.prune).collect()
     wall = time.time() - t0
     by_q: dict[int, list] = {}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
