@@ -1,69 +1,171 @@
-"""Randomized facet queries cross-checked against generated DuckDB SQL
-— the engine analog of the reference's randomized integration tests
-(RandomizedApproxReadWriteTest: seeded Random(0), exact oracle, 1%
-tolerance for HLL) and its 100-random-query self-consistency layer
-(MediumDataSetPerformanceTest)."""
+"""Randomized facet sweep — the reference's RandomizedApproxReadWriteTest
+analog (`/root/reference/src/test/java/.../RandomizedApproxReadWriteTest.java:80-140`):
+seeded random data, a grid of interval × zone × offset × mode combos,
+every result checked against an independently-constructed exact oracle
+(DuckDB here, the reference's *QueryResultChecker there).
+
+The oracle mirrors the SEMANTICS (ES 0.90 TimeZoneRounding) but is
+built from scratch in SQL: fixed-offset zones are interval arithmetic,
+calendar truncation is DuckDB's date_trunc, TimeValue spans are
+epoch-floor — a different engine and a different formulation of the
+same spec.
+"""
 
 import duckdb
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
-from elasticsearch_approx_plugin_spark.operators.date_facet import date_facet
+from elasticsearch_approx_plugin_spark.operators.date_facet import (
+    _CALENDAR,
+    _LARGE_CALENDAR,
+    _LARGE_MS,
+    _TIMEVALUE,
+    _UNIT_MS,
+    date_facet,
+)
 
-INTERVALS = ["hour", "day", "minute", "6h", "90m"]
-SLICES = [None, "event_type"]
-THRESHOLDS = [-1, 0, 50, 1000]
-
-_TRUNC = {
-    "hour": "date_trunc('hour', ts)",
-    "day": "date_trunc('day', ts)::TIMESTAMP",
-    "minute": "date_trunc('minute', ts)",
-    "6h": "epoch_ms((epoch_ms(ts) // 21600000) * 21600000)",
-    "90m": "epoch_ms((epoch_ms(ts) // 5400000) * 5400000)",
-}
+N_EVENTS = 4000
 
 
-def _oracle(sf_dir, interval, slice_field):
-    trunc = _TRUNC[interval]
-    cols = [f"{trunc} AS time"]
-    group = ["1"]
-    if slice_field:
-        cols.append(f"{slice_field} AS term")
-        group.append("2")
-    sql = (
-        f"SELECT {', '.join(cols)}, count(user_id) AS cnt, "
-        f"count(DISTINCT user_id) AS dc "
-        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY {', '.join(group)}"
+@pytest.fixture(scope="module")
+def rand_events(spark, tmp_path_factory):
+    rng = np.random.default_rng(99)
+    t0 = 1367000000000  # 2013-04-26, matching the reference fixtures' era
+    ts = t0 + rng.integers(0, 200 * 86_400_000, N_EVENTS)  # ~200 days
+    rows = [
+        (int(ts[i]), int(rng.integers(0, 150)), ["a", "b", "c"][int(rng.integers(0, 3))])
+        for i in range(N_EVENTS)
+    ]
+    df = spark.createDataFrame(rows, "ts_ms long, user_id long, etype string").select(
+        F.timestamp_millis("ts_ms").alias("ts"), "user_id", "etype"
     )
-    out = {}
-    for row in duckdb.sql(sql).fetchall():
-        key = tuple(row[:-2])
-        out[key] = (row[-2], row[-1])
+    path = str(tmp_path_factory.mktemp("randfacet") / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return df, f"{path}/*.parquet"
+
+
+def _zone_minutes(zone: str) -> int:
+    sign = -1 if zone.startswith("-") else 1
+    hh, mm = zone.lstrip("+-").split(":")
+    return sign * (int(hh) * 60 + int(mm))
+
+
+def _oracle_bucket(interval: str, pre_zone, pre_offset_ms, post_offset_ms, adjust):
+    """Epoch-ms bucket expression over a DuckDB TIMESTAMPTZ column
+    ``dt`` — an independent SQL formulation of bucket_expr's spec."""
+    expr = "dt"
+    if pre_offset_ms:
+        expr = f"({expr} + INTERVAL '{pre_offset_ms}' MILLISECOND)"
+    shift = _zone_minutes(pre_zone) if pre_zone else 0
+    if shift:
+        expr = f"({expr} + INTERVAL '{shift}' MINUTE)"
+    key = interval.lower()
+    if key in _CALENDAR:
+        out = f"epoch_ms(date_trunc('{_CALENDAR[key]}', {expr})::TIMESTAMP)"
+        large = _CALENDAR[key] in _LARGE_CALENDAR
+    else:
+        m = _TIMEVALUE.match(key)
+        span = int(m.group(1)) * _UNIT_MS[m.group(2)]
+        out = f"(epoch_ms({expr}) // {span}) * {span}"
+        large = span >= _LARGE_MS
+    if shift and (not large or adjust):
+        out = f"({out} - {shift * 60_000})"
+    if post_offset_ms:
+        out = f"({out} + {post_offset_ms})"
     return out
 
 
-@pytest.mark.parametrize("case", range(8))
-def test_random_facet_vs_oracle(spark, sf_dir_med, case):
-    rng = np.random.default_rng(case)  # deterministic per case (Random(0) discipline)
-    interval = INTERVALS[rng.integers(len(INTERVALS))]
-    slice_field = SLICES[rng.integers(len(SLICES))]
-    threshold = THRESHOLDS[rng.integers(len(THRESHOLDS))]
+CASES = [
+    # (interval, pre_zone, pre_offset, post_offset, adjust, mode)
+    ("minute", None, None, None, False, "counting"),
+    ("hour", "+05:30", None, None, False, "counting"),
+    ("day", "+05:30", None, None, False, "counting"),
+    ("day", "-08:00", None, None, True, "counting"),
+    ("week", "+05:30", None, None, False, "counting"),
+    ("month", None, "+6h", None, False, "counting"),
+    ("quarter", None, None, "+30m", False, "counting"),
+    ("year", "-08:00", None, None, True, "counting"),
+    ("90m", None, None, None, False, "counting"),
+    ("6h", "+05:30", None, None, False, "counting"),
+    ("24h", "+05:30", None, None, False, "counting"),  # span ≥ 12h = large
+    ("45s", None, "-90m", None, False, "counting"),
+    ("day", "+05:30", None, None, False, "sliced"),
+    ("day", "-08:00", "+1h", None, True, "distinct"),
+    ("week", None, None, None, False, "hybrid"),
+]
 
-    events = spark.read.parquet(f"{sf_dir_med}/events.parquet")
-    res = date_facet(
-        events, "ts", interval, slice_field=slice_field,
-        distinct_field="user_id", exact_threshold=threshold,
-        distinct_method="hybrid",
-    ).collect()
-    exp = _oracle(sf_dir_med, interval, slice_field)
 
-    assert len(res) == len(exp)
-    for r in res:
-        key = (r["time"], r["term"]) if slice_field else (r["time"],)
-        cnt, dc = exp[key]
-        assert r["count"] == cnt  # occurrence counts always exact
-        if r["tipped"]:
-            assert abs(r["distinct_count"] - dc) <= max(0.02 * dc, 2)  # HLL ≤2%
-        else:
-            assert r["distinct_count"] == dc  # untipped ⇒ exact, by contract
-            assert threshold == -1 or dc <= threshold
+@pytest.mark.parametrize("interval,zone,pre_off,post_off,adjust,mode", CASES)
+def test_random_facet_matches_oracle(
+    rand_events, interval, zone, pre_off, post_off, adjust, mode
+):
+    df, path = rand_events
+    kwargs = dict(
+        pre_zone=zone,
+        pre_offset=pre_off,
+        post_offset=post_off,
+        pre_zone_adjust_large_interval=adjust,
+    )
+    off = lambda s: 0 if s is None else (
+        (-1 if s.startswith("-") else 1)
+        * int(s.lstrip("+-")[:-1])
+        * _UNIT_MS[s[-1]]
+    )
+    bucket = _oracle_bucket(interval, zone, off(pre_off), off(post_off), adjust)
+    src = (
+        f"(SELECT to_timestamp(epoch_ms(ts) / 1000.0) AS dt, user_id, etype "
+        f"FROM read_parquet('{path}'))"
+    )
+
+    if mode == "counting":
+        got = {
+            (r["t"], r["count"])
+            for r in date_facet(df, "ts", interval, **kwargs)
+            .select(F.unix_millis(F.col("time").cast("timestamp")).alias("t"), "count")
+            .collect()
+        }
+        exp = set(
+            duckdb.sql(
+                f"SELECT {bucket} AS t, count(*) FROM {src} GROUP BY 1"
+            ).fetchall()
+        )
+    elif mode == "sliced":
+        got = {
+            (r["t"], r["term"], r["count"])
+            for r in date_facet(df, "ts", interval, slice_field="etype", **kwargs)
+            .select(
+                F.unix_millis(F.col("time").cast("timestamp")).alias("t"),
+                "term",
+                "count",
+            )
+            .collect()
+        }
+        exp = set(
+            duckdb.sql(
+                f"SELECT {bucket} AS t, etype, count(*) FROM {src} GROUP BY 1, 2"
+            ).fetchall()
+        )
+    else:  # distinct / hybrid
+        method = "exact" if mode == "distinct" else "hybrid"
+        extra = {} if mode == "distinct" else {"exact_threshold": -1}
+        got = {
+            (r["t"], r["count"], r["distinct_count"])
+            for r in date_facet(
+                df, "ts", interval, distinct_field="user_id",
+                distinct_method=method, **extra, **kwargs,
+            )
+            .select(
+                F.unix_millis(F.col("time").cast("timestamp")).alias("t"),
+                "count",
+                "distinct_count",
+            )
+            .collect()
+        }
+        exp = set(
+            duckdb.sql(
+                f"SELECT {bucket} AS t, count(user_id), count(DISTINCT user_id) "
+                f"FROM {src} GROUP BY 1"
+            ).fetchall()
+        )
+    assert got == exp
