@@ -190,6 +190,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(spark, sf), "ts", "day", distinct_field="user_id",
         exact_threshold=0, distinct_method="hybrid",
     ).select(_ms(), F.col("distinct_count").alias("distinct_cnt"))
+    # value mode: count occurrences of a (possibly null) value field
+    q["date_facet_value"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", value_field="value"
+    ).select(_ms(), F.col("count").alias("cnt"))
+    # sliced distinct through the HYBRID sketch (multi-column group
+    # keys through the two-phase CountThenEstimate path)
+    q["date_facet_sliced_distinct_hybrid"] = lambda spark, sf: date_facet(
+        _events(spark, sf), "ts", "day", slice_field="event_type",
+        distinct_field="user_id", exact_threshold=-1, distinct_method="hybrid",
+    ).select(_ms(), "term", F.col("count").alias("cnt"),
+             F.col("distinct_count").alias("distinct_cnt"))
     q["date_facet_rollup_totals"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "day", totals=True
     ).select(_ms(), F.col("count").alias("cnt"))
@@ -742,6 +753,11 @@ def oracle_sql() -> dict[str, str]:
         "count(user_id) AS cnt, "
         "(count(DISTINCT user_id) > 130)::BIGINT AS tipped, 1::BIGINT AS ok "
         "FROM events GROUP BY 1",
+        "date_facet_value": f"SELECT {ev_day} AS time_ms, count(value) AS cnt "
+        "FROM events GROUP BY 1",
+        "date_facet_sliced_distinct_hybrid": f"SELECT {ev_day} AS time_ms, "
+        "event_type AS term, count(user_id) AS cnt, "
+        "count(DISTINCT user_id) AS distinct_cnt FROM events GROUP BY 1, 2",
         "date_facet_rollup_totals": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY ROLLUP(1)",
         "date_facet_prezone": "SELECT epoch_ms((date_trunc('day', ts + INTERVAL '330' MINUTE) "
