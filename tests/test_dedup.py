@@ -204,3 +204,34 @@ def test_connected_components_chain_and_merge(spark):
     comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert all(comp[x] == 1 for x in (1, 2, 3, 4, 5, 100, 101))
     assert comp[7] == comp[8] == 7
+
+
+def test_minhash_partitioning_invariant(corpus):
+    """Hash-deterministic pipeline ⇒ identical pairs at any input
+    partitioning (the north-rule N-vs-4N property, dedup edition)."""
+    df, _ = corpus
+    toks = df.select("doc_id", tokenize_ws("text").alias("tokens"))
+    a = {
+        tuple(r)
+        for r in minhash_lsh_dedup(toks, "tokens", "doc_id", threshold=0.8).collect()
+    }
+    b = {
+        tuple(r)
+        for r in minhash_lsh_dedup(
+            toks.repartition(13), "tokens", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_connected_components_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.operators.dedup import connected_components
+
+    pairs = spark.range(3000).select(
+        (F.col("id") % 600).alias("id_a"), (F.col("id") + 10_000).alias("id_b")
+    )
+    a = {tuple(r) for r in connected_components(pairs).collect()}
+    b = {tuple(r) for r in connected_components(pairs.repartition(17)).collect()}
+    assert a == b and a
