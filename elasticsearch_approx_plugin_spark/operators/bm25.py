@@ -177,6 +177,7 @@ def score_queries(
     k: int = 10,
     prune: bool = False,
     stats: dict | None = None,
+    wand_max_postings: int = 50_000_000,
 ) -> DataFrame:
     """Score a batch of (query_id, terms) → (query_id, doc_id, score, rank).
 
@@ -196,6 +197,13 @@ def score_queries(
     less decode; parallelism = queries × 1 task, so it is the BATCH
     serving shape (the exhaustive path parallelizes a single query
     across ranges and stays the low-latency choice on small indexes).
+
+    Straggler guard: a query whose candidate volume (Σ df of its
+    terms, known from the already-collected dictionary rows — zero
+    extra jobs) exceeds ``wand_max_postings`` would serialize one huge
+    task, so it routes through the range-parallel exhaustive branch
+    instead; the two result sets union (identical semantics either
+    way). Cost-based routing, decided per query on the driver.
     """
     spark = index.postings.sparkSession
     terms = sorted({t for _, ts in queries for t in ts})
@@ -229,8 +237,17 @@ def score_queries(
     out_schema = "query_id long, doc_id long, score double"
 
     if prune:
+        df_by_term = {r["term"]: int(r["df"]) for r in dict_rows}
+        heavy_qids = {
+            qid
+            for qid, ts in queries
+            if sum(df_by_term.get(t, 0) for t in set(ts)) > wand_max_postings
+        }
         wand = _make_wand_scorer(index.k1, index.b, index.avgdl, k)
-        local = matched.groupBy("query_id").applyInPandas(
+        wand_in = matched
+        if heavy_qids:
+            wand_in = matched.filter(~F.col("query_id").isin(sorted(heavy_qids)))
+        local = wand_in.groupBy("query_id").applyInPandas(
             wand, out_schema + ", ranges_total long, ranges_scored long"
         )
         if stats is not None:  # opt-in skip accounting (rows are only q×k)
@@ -244,8 +261,17 @@ def score_queries(
                 ranges_total=total,
                 ranges_scored=scored,
                 skip_rate=round(1.0 - scored / max(total, 1), 4),
+                wand_routed=len(queries) - len(heavy_qids),
+                exhaustive_routed=len(heavy_qids),
             )
         local = local.drop("ranges_total", "ranges_scored")
+        if heavy_qids:
+            heavy = (
+                matched.filter(F.col("query_id").isin(sorted(heavy_qids)))
+                .groupBy("range_id")
+                .applyInPandas(scorer, out_schema)
+            )
+            local = local.unionByName(heavy)
     else:
         local = matched.groupBy("range_id").applyInPandas(scorer, out_schema)
 

@@ -250,3 +250,27 @@ def test_score_queries_edges_both_paths(index):
         tuple(r) for r in score_queries(index, [(2, ["hash", "join"])], big_k).collect()
     )
     assert single == sorted(t for t in a if t[0] == 2)
+
+
+def test_wand_cost_routing(index, sf_dir):
+    """A tiny wand_max_postings forces hot queries through the
+    range-parallel branch; results stay identical to exhaustive."""
+    exhaustive = sorted(
+        tuple(r) for r in score_queries(index, QUERIES, K).collect()
+    )
+    st: dict = {}
+    routed = sorted(
+        tuple(r)
+        for r in score_queries(
+            index, QUERIES, K, prune=True, stats=st, wand_max_postings=50
+        ).collect()
+    )
+    assert routed == exhaustive
+    assert st["exhaustive_routed"] > 0  # hot queries actually re-routed
+    # and with the default threshold everything stays on the WAND path
+    st2: dict = {}
+    all_wand = sorted(
+        tuple(r) for r in score_queries(index, QUERIES, K, prune=True, stats=st2).collect()
+    )
+    assert all_wand == exhaustive
+    assert st2["exhaustive_routed"] == 0
