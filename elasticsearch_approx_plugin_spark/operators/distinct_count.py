@@ -67,10 +67,34 @@ def _partial_states(group_cols: list[str], threshold: int, rsd: float):
                     codes = np.where(codes == -1, len(keys), codes)
                     keys.append((None,))
             else:
-                codes, uniques = pd.factorize(
-                    pd.Series(list(zip(*[pdf[c] for c in group_cols]))), sort=False
-                )
-                keys = [_norm_key(k) for k in uniques]
+                # vectorized composite keys: factorize each column
+                # separately (null → code 0) and mix into one int64
+                # code — no per-row Python tuple. Falls back to the
+                # tuple path only if the code space could overflow
+                # (≥ ~6 high-cardinality columns in one batch).
+                parts, space = [], 1
+                for c in group_cols:
+                    ci, ui = pd.factorize(pdf[c], sort=False)
+                    parts.append((ci + 1, ui))
+                    space *= len(ui) + 1
+                if space < (1 << 62):
+                    comp = np.zeros(len(pdf), dtype=np.int64)
+                    for ci, ui in parts:
+                        comp = comp * np.int64(len(ui) + 1) + ci
+                    uniq_codes, codes = np.unique(comp, return_inverse=True)
+                    keys = []
+                    for code in uniq_codes:
+                        vals = []
+                        for ci, ui in reversed(parts):
+                            code, sub = divmod(int(code), len(ui) + 1)
+                            v = None if sub == 0 else ui[sub - 1]
+                            vals.append(None if pd.isna(v) else v)
+                        keys.append(tuple(reversed(vals)))
+                else:
+                    codes, uniques = pd.factorize(
+                        pd.Series(list(zip(*[pdf[c] for c in group_cols]))), sort=False
+                    )
+                    keys = [_norm_key(k) for k in uniques]
             # sort-and-slice: O(N log N) once, vs O(groups × N) masking
             order = np.argsort(codes, kind="stable")
             sorted_h = hashes[order]
