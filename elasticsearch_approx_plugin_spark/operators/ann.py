@@ -50,34 +50,42 @@ def cosine_topk(
     qmat = _as_matrix([v for _, v in queries])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        parts_ids: list[np.ndarray] = []
-        parts_scores: list[np.ndarray] = []
+        # running per-query top-k across Arrow batches: peak memory is
+        # O(batch × nq + nq × k), NOT O(partition × nq) — accumulating
+        # every batch's score matrix for the whole partition would be
+        # ~1 GB/task at 10^6 rows × 100 queries (the 100 TB killer)
+        best_ids = [np.empty(0, dtype=np.int64) for _ in qids]
+        best_scores = [np.empty(0, dtype=np.float64) for _ in qids]
+        seen = False
         for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
-            sims = (m / norms[:, None]) @ qmat.T  # (batch, nq)
-            parts_ids.append(ids)
-            parts_scores.append(sims)
-        if not parts_ids:
+            sims = np.round((m / norms[:, None]) @ qmat.T, SCORE_DECIMALS)
+            for qi in range(len(qids)):
+                cand_ids = np.concatenate([best_ids[qi], ids])
+                cand_s = np.concatenate([best_scores[qi], sims[:, qi]])
+                sel = cand_ids
+                if cand_ids.size > k:
+                    cut = np.partition(-cand_s, k - 1)[k - 1]
+                    keep = np.flatnonzero(-cand_s <= cut)
+                else:
+                    keep = np.arange(cand_ids.size)
+                order = np.lexsort((cand_ids[keep], -cand_s[keep]))[:k]
+                sel = keep[order]
+                best_ids[qi] = cand_ids[sel]
+                best_scores[qi] = cand_s[sel]
+        if not seen:
             return
-        ids = np.concatenate(parts_ids)
-        sims = np.round(np.concatenate(parts_scores, axis=0), SCORE_DECIMALS)
         out_q, out_id, out_s = [], [], []
         for qi, qid in enumerate(qids):
-            col = sims[:, qi]
-            if col.size > k:
-                cut = np.partition(-col, k - 1)[k - 1]
-                keep = np.flatnonzero(-col <= cut)
-            else:
-                keep = np.arange(col.size)
-            order = np.lexsort((ids[keep], -col[keep]))[:k]
-            sel = keep[order]
-            out_q.extend([qid] * sel.size)
-            out_id.extend(ids[sel].tolist())
-            out_s.extend(col[sel].tolist())
+            out_q.extend([qid] * best_ids[qi].size)
+            out_id.extend(best_ids[qi].tolist())
+            out_s.extend(best_scores[qi].tolist())
         yield pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
 
     local = emb.select(id_col, vec_col).mapInPandas(
