@@ -341,7 +341,13 @@ def ivf_cosine_topk(
     probes = spark.createDataFrame(
         probe_rows, "query_id long, list_id long, qvec array<double>"
     )
-    cand = assigned.join(F.broadcast(probes), "list_id")
+    # the probed list set is known driver-side → a static filter, which
+    # becomes PARTITION PRUNING on a list_id-partitioned at-rest index
+    # (write_ivf) and shrinks the join input either way
+    probed = sorted({r[1] for r in probe_rows})
+    cand = assigned.filter(F.col("list_id").isin(probed)).join(
+        F.broadcast(probes), "list_id"
+    )
     dot = F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), F.col("qvec"), lambda a, b: a * b),
         F.lit(0.0),
@@ -359,3 +365,32 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def write_ivf(
+    assigned: DataFrame, centroids: np.ndarray, path: str, vec_col: str = "embedding"
+) -> None:
+    """Persist an IVF index: vectors hive-partitioned by ``list_id``
+    (a query's probed lists prune to their directories at the parquet
+    scan — the ANN analog of the text index's bucket pruning), plus the
+    centroid matrix as JSON metadata."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(
+            {"centroids": centroids.tolist(), "dim": int(centroids.shape[1])}, f
+        )
+
+
+def read_ivf(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    return vectors, np.asarray(meta["centroids"], dtype=np.float64)

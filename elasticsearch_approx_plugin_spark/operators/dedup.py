@@ -368,7 +368,10 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     shuffle joins + one groupBy; lineage is truncated per round with
     an eager localCheckpoint, so the plan never grows with
     iterations. Never collects edges to the driver (VERDICT r1
-    finding #1)."""
+    finding #1). Checkpoint lifecycle: each round holds only the
+    current and previous label tables; older checkpoints lose their
+    last reference and Spark's ContextCleaner evicts them, so live
+    storage stays O(nodes) regardless of round count."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -203,3 +203,32 @@ def test_ivf_build_dim768(spark):
         v = np.array(r["embedding"], dtype=np.float64)
         d = ((cents - v) ** 2).sum(axis=1)
         assert int(d.argmin()) == r["list_id"]
+
+
+def test_ivf_persistence_prunes_partitions(spark, emb, queries, tmp_path):
+    """write_ivf → read_ivf round-trips results exactly, and the probe
+    filter prunes list_id directories at the scan."""
+    from elasticsearch_approx_plugin_spark.operators.ann import (
+        ivf_build,
+        ivf_cosine_topk,
+        read_ivf,
+        write_ivf,
+    )
+
+    assigned, cents = ivf_build(emb, n_lists=8, n_iters=2)
+    orig = sorted(tuple(r) for r in ivf_cosine_topk(assigned, cents, queries, K, nprobe=3).collect())
+
+    path = str(tmp_path / "ivf")
+    write_ivf(assigned, cents, path)
+    loaded, cents2 = read_ivf(spark, path)
+    import numpy as np
+
+    assert np.allclose(cents, cents2)
+    q = ivf_cosine_topk(loaded, cents2, queries, K, nprobe=3)
+    got = sorted(tuple(r) for r in q.collect())
+    assert got == orig
+
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [list_id" in plan  # probed dirs only
