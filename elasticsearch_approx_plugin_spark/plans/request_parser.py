@@ -62,6 +62,10 @@ def parse_date_facet(clause: dict[str, Any]) -> DateFacetQuery:
         field = _DATE_ALIASES.get(k)
         if field is None:
             raise ValueError(f"unknown date_facet field {k!r}")
+        if field in ("pre_zone", "post_zone") and isinstance(v, int):
+            # DateFacetParser.parseZone accepts whole-hour numbers
+            # (DateTimeZone.forOffsetHours) — normalize to ±HH:00
+            v = f"{'+' if v >= 0 else '-'}{abs(v):02d}:00"
         kwargs[field] = v
     if "key_field" not in kwargs or "interval" not in kwargs:
         raise ValueError("date_facet requires key_field and interval")

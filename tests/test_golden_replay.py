@@ -171,3 +171,35 @@ def test_replay_term_list_post_mode_rejects_sample(corpus):
     request = _load(f"{FIXDIR}/TermListFacetTestPostMode.json")
     (_, q), = parse_request(request).items()
     assert q.mode == "post"
+
+
+def test_parser_numeric_zone_and_aliases():
+    """DateFacetParser parity: numeric whole-hour zones and camelCase
+    aliases (DateFacetParser.java:133-139, 229-232)."""
+    q = parse_request(
+        {
+            "query": {"match_all": {}},
+            "facets": {
+                "h": {
+                    "date_facet": {
+                        "keyField": "datetime",
+                        "interval": "hour",
+                        "preZone": -2,
+                        "postZone": 5,
+                        "exactThreshold": -1,
+                        "preZoneAdjustLargeInterval": True,
+                    }
+                }
+            },
+        }
+    )["h"]
+    assert q.pre_zone == "-02:00" and q.post_zone == "+05:00"
+    assert q.exact_threshold == -1 and q.pre_zone_adjust_large_interval is True
+
+    with pytest.raises(ValueError, match="value_script"):
+        parse_request(
+            {"facets": {"x": {"date_facet": {"key_field": "t", "interval": "day",
+                                             "value_script": "doc.x"}}}}
+        )
+    with pytest.raises(ValueError, match="match_all"):
+        parse_request({"query": {"term": {"a": "b"}}, "facets": {}})
