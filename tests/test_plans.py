@@ -1,0 +1,59 @@
+"""Physical-plan quality gates — the properties that make these
+operators survive 100 TB, frozen as assertions so a refactor can't
+silently regress them. (Scan-level checks — PushedFilters, partition
+pruning, ReadSchema — live next to their operators' tests.)"""
+
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.ann import cosine_topk
+from elasticsearch_approx_plugin_spark.operators.dedup import dedup_exact, simhash
+from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+    add_quality_features,
+    lang_id,
+)
+
+
+def _simple(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_dedup_exact_partial_aggregation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _simple(dedup_exact(docs, "text", "doc_id"))
+    # partial + final HashAggregate around ONE exchange; no Python
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+    assert "InPandas" not in plan and "Python" not in plan
+
+
+def test_text_analysis_stays_codegen(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (add_quality_features(docs, "text"), lang_id(docs, "text", "doc_id")):
+        plan = _simple(df)
+        assert "*(" in plan  # whole-stage codegen active
+        assert "InPandas" not in plan and "Python" not in plan
+        assert "Exchange" not in plan  # zero shuffles: pure row-local
+
+
+def test_simhash_single_aggregate_exchange(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", tokenize_ws("text").alias("tokens"))
+    plan = _simple(simhash(toks, "tokens", "doc_id"))
+    # 64 conditional sums ride ONE aggregation (partial+final), one exchange
+    assert plan.count("Exchange") == 1
+    assert "InPandas" not in plan
+
+
+def test_cosine_topk_window_group_limit(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [
+        (r["vec_id"], list(map(float, r["embedding"])))
+        for r in emb.filter("vec_id < 2").collect()
+    ]
+    plan = _simple(cosine_topk(emb, qs, 5))
+    # Spark turns the rank<=k filter into partial+final top-k
+    assert "WindowGroupLimit" in plan
