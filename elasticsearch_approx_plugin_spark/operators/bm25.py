@@ -100,7 +100,7 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int):
     return score_group
 
 
-def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int):
+def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int, ub_scale: float = 1.0):
     """One query's block-max WAND walk, inside a single task.
 
     Ranges visit in (ub desc, range_id asc) order; a running top-k
@@ -111,14 +111,16 @@ def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int):
     per-doc scores are bit-identical and the final top-k equals the
     exhaustive result (τ compares with the rounding-grid slack; only
     over-includes). Emits the per-query (ranges_total, ranges_scored)
-    skip accounting on every output row.
+    skip accounting on every output row. ``ub_scale`` (≥ 1) widens the
+    metadata bounds after index appends whose avgdl drifted above the
+    bounds' build-time avgdl (see InvertedIndex.bound_avgdl).
     """
     slack = 10.0 ** (-SCORE_DECIMALS)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         ubs = (
-            pdf.assign(contrib=pdf["idf"] * pdf["max_tfnorm"])
+            pdf.assign(contrib=pdf["idf"] * pdf["max_tfnorm"] * ub_scale)
             .groupby("range_id")["contrib"]
             .sum()
             .sort_index()
@@ -243,7 +245,7 @@ def score_queries(
             for qid, ts in queries
             if sum(df_by_term.get(t, 0) for t in set(ts)) > wand_max_postings
         }
-        wand = _make_wand_scorer(index.k1, index.b, index.avgdl, k)
+        wand = _make_wand_scorer(index.k1, index.b, index.avgdl, k, index.ub_scale)
         wand_in = matched
         if heavy_qids:
             wand_in = matched.filter(~F.col("query_id").isin(sorted(heavy_qids)))

@@ -42,7 +42,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.varint import varint_encode_grouped
+from ..functions.varint import delta_varint_decode, varint_decode, varint_encode_grouped
 
 DEFAULT_RANGE_BITS = 20  # 1M docs per scoring range
 DEFAULT_K1 = 1.2
@@ -64,6 +64,17 @@ class InvertedIndex:
     b: float = DEFAULT_B
     range_bits: int = DEFAULT_RANGE_BITS
     n_buckets: int | None = None  # set for persisted indexes (bucket= dirs)
+    # MINIMUM avgdl any stored max_tfnorm was computed with. tfnorm is
+    # increasing in avgdl, so after appends (which raise or lower the
+    # corpus avgdl) the stored block-max bounds stay SAFE when scaled
+    # by max(1, avgdl / bound_avgdl) at query time — sup over (tf, dl)
+    # of the tfnorm ratio between two avgdls is their ratio.
+    bound_avgdl: float | None = None
+
+    @property
+    def ub_scale(self) -> float:
+        base = self.bound_avgdl if self.bound_avgdl else self.avgdl
+        return max(1.0, self.avgdl / base)
 
 
 def assign_doc_ids(
@@ -320,6 +331,7 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
         "b": index.b,
         "range_bits": index.range_bits,
         "n_buckets": n_buckets,
+        "bound_avgdl": index.bound_avgdl or index.avgdl,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -340,4 +352,158 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         meta["b"],
         meta["range_bits"],
         n_buckets=meta.get("n_buckets"),
+        bound_avgdl=meta.get("bound_avgdl"),
     )
+
+
+def _merge_posting_rows(batches):
+    """Partition-at-a-time merge of posting rows sharing a
+    (term, range_id) group (after a hash repartition on that key):
+    groups with one row pass through untouched; groups an append
+    split across builds decode, concat in doc_id order, and re-encode.
+    df/cf sum (disjoint docs), max_tfnorm takes the max (each value is
+    a bound under its own build avgdl — query-time ub_scale covers the
+    difference)."""
+    import pandas as pd
+
+    groups: dict[tuple, list] = {}
+    for pdf in batches:
+        for row in pdf.itertuples(index=False):
+            groups.setdefault((row.term, row.range_id), []).append(row)
+    if not groups:
+        return
+    out = {c: [] for c in (
+        "term", "range_id", "df_part", "cf_part", "max_tfnorm", "doc_ids", "tfs", "dls"
+    )}
+    for (term, rid), rows in groups.items():
+        if len(rows) == 1:
+            r = rows[0]
+            doc_b, tf_b, dl_b = bytes(r.doc_ids), bytes(r.tfs), bytes(r.dls)
+            df_p, cf_p, mt = int(r.df_part), int(r.cf_part), float(r.max_tfnorm)
+        else:
+            docs = np.concatenate([delta_varint_decode(bytes(r.doc_ids)) for r in rows])
+            tfs = np.concatenate([varint_decode(bytes(r.tfs)) for r in rows])
+            dls = np.concatenate([varint_decode(bytes(r.dls)) for r in rows])
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            deltas = docs.copy()
+            deltas[1:] -= docs[:-1]
+            starts = np.array([0], dtype=np.int64)
+            doc_b = bytes(varint_encode_grouped(deltas, starts)[0])
+            tf_b = bytes(varint_encode_grouped(tfs, starts)[0])
+            dl_b = bytes(varint_encode_grouped(dls, starts)[0])
+            df_p = int(sum(int(r.df_part) for r in rows))
+            cf_p = int(sum(int(r.cf_part) for r in rows))
+            mt = float(max(float(r.max_tfnorm) for r in rows))
+        out["term"].append(term)
+        out["range_id"].append(rid)
+        out["df_part"].append(df_p)
+        out["cf_part"].append(cf_p)
+        out["max_tfnorm"].append(mt)
+        out["doc_ids"].append(doc_b)
+        out["tfs"].append(tf_b)
+        out["dls"].append(dl_b)
+    yield pd.DataFrame(out)
+
+
+def append_to_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally add documents to a persisted index — the analog of
+    Elasticsearch's continuous ingestion, without a rebuild.
+
+    Only the delta's term buckets are touched: a delta index is built
+    from the new docs (two shuffles, delta-sized), its rows merge with
+    the existing rows of the SAME (term, range) groups (varint decode →
+    doc_id-ordered concat → re-encode; untouched buckets are never
+    read), the merged buckets overwrite via dynamic partition
+    overwrite, and the dictionary/meta/manifest update. Scoring stays
+    EXACT after append: postings carry raw tf/dl varints and the scorer
+    recomputes with the refreshed corpus avgdl and df — a
+    build-then-append index returns bit-identical BM25 results to a
+    full rebuild (tested). WAND's stored block-max metadata was
+    computed under each build's own avgdl, so ``meta.bound_avgdl``
+    tracks the minimum across builds and query-time bounds scale by
+    ``avgdl / bound_avgdl`` — always safe, marginally looser pruning.
+
+    New ``doc_id``s must be disjoint from existing ones (hash ids, or
+    continue the dense sequence).
+    """
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("range_bits") is None:
+        raise ValueError("index meta missing range_bits")
+    delta = build_index(
+        docs, tokens_col=tokens_col, id_col=id_col,
+        range_bits=meta["range_bits"], k1=meta["k1"], b=meta["b"],
+    )
+    n_buckets = meta["n_buckets"]
+    delta_pb = delta.postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    ).persist()
+    touched = sorted(r["bucket"] for r in delta_pb.select("bucket").distinct().collect())
+    old = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("bucket").isin(touched)
+    )
+    merged = (
+        old.unionByName(delta_pb)
+        .repartition("term", "range_id")
+        .drop("bucket")
+        .mapInPandas(_merge_posting_rows, POSTINGS_SCHEMA)
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    # materialize BEFORE the overwrite — the write targets the same
+    # directory the plan reads from (touched buckets only)
+    merged = merged.localCheckpoint(eager=True)
+    delta_pb.unpersist(blocking=False)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # dictionary: disjoint docs → df/cf sum across builds
+    old_dict = spark.read.parquet(os.path.join(path, "dictionary"))
+    new_dict = (
+        old_dict.unionByName(delta.dictionary)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .localCheckpoint(eager=True)  # same read-then-overwrite hazard
+    )
+    new_dict.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+
+    # manifest: refresh metrics for the touched buckets
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    metrics = (
+        merged.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("df_part").alias("postings"),
+            F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
+        )
+        .collect()
+    )
+    for m in metrics:
+        manifest["buckets"][str(int(m["bucket"]))] = {
+            "rows": m["rows"], "postings": m["postings"], "bytes": m["bytes"],
+        }
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    n1, a1 = meta["n_docs"], meta["avgdl"]
+    n2, a2 = delta.n_docs, delta.avgdl
+    meta["n_docs"] = n1 + n2
+    meta["avgdl"] = (n1 * a1 + n2 * a2) / (n1 + n2)
+    meta["bound_avgdl"] = min(meta.get("bound_avgdl", a1), a1, a2)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from elasticsearch_approx_plugin_spark.session import get_spark
 from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code, tokenize_ws
 from elasticsearch_approx_plugin_spark.operators.postings import (
+    append_to_index,
     assign_doc_ids,
     build_index,
     write_index,
@@ -49,12 +50,19 @@ def main() -> None:
         action="store_true",
         help="skip the per-row content_sha read-path guard",
     )
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="incrementally add these docs to the EXISTING index at "
+        "--output (touched term-buckets only; results stay identical "
+        "to a full rebuild)",
+    )
     args = ap.parse_args()
 
     # resume short-circuit: a complete manifest means nothing to do —
     # report its metrics without spinning up a build
     mpath = os.path.join(args.output, "manifest.json")
-    if os.path.exists(mpath):
+    if not args.append and os.path.exists(mpath):
         with open(mpath) as f:
             man = json.load(f)
         if len(man.get("buckets", {})) == man.get("n_buckets") == args.n_buckets:
@@ -93,10 +101,36 @@ def main() -> None:
     tok = tokenize_code if args.tokenizer == "code" else tokenize_ws
     if args.id_col:
         docs = corpus.select(F.col(args.id_col).alias("doc_id"), tok(args.text_col).alias("tokens"))
+    elif args.append:
+        # dense ids would collide with the existing index — appends
+        # without --id-col get masked-hash ids (uniform, disjoint
+        # w.h.p.; use hash ids for the base build too in append flows)
+        docs = corpus.select(
+            F.xxhash64("repo", "path", "commit")
+            .bitwiseAND(F.lit((1 << 63) - 1))
+            .alias("doc_id"),
+            tok(args.text_col).alias("tokens"),
+        )
     else:
         docs = assign_doc_ids(corpus, ["repo", "path", "commit"]).select(
             "doc_id", tok(args.text_col).alias("tokens")
         )
+    if args.append and os.path.exists(os.path.join(args.output, "meta.json")):
+        meta = append_to_index(spark, args.output, docs)
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "appended": True,
+                    "n_docs": meta["n_docs"],
+                    "avgdl": round(meta["avgdl"], 3),
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+        return
+    # --append with no existing index bootstraps a fresh build below
+
     index = build_index(docs, range_bits=args.range_bits)
     manifest = write_index(index, args.output, n_buckets=args.n_buckets)
     wall = time.time() - t0

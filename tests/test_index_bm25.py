@@ -274,3 +274,126 @@ def test_wand_cost_routing(index, sf_dir):
     )
     assert all_wand == exhaustive
     assert st2["exhaustive_routed"] == 0
+
+
+def test_append_to_index_equals_full_rebuild(spark, tmp_path):
+    """Incremental ingestion: build on 2/3 of the corpus, append the
+    rest — BM25 results (exhaustive AND WAND) are bit-identical to a
+    full rebuild; meta/dictionary/manifest reflect the union."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        append_to_index,
+        read_index,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 3000)
+    toks = corpus.select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+        F.xxhash64("commit").alias("split"),
+    ).persist()
+    part1 = toks.filter(F.pmod("split", F.lit(3)) != 0).drop("split")
+    part2 = toks.filter(F.pmod("split", F.lit(3)) == 0).drop("split")
+
+    full_path = str(tmp_path / "full")
+    inc_path = str(tmp_path / "inc")
+    write_index(build_index(toks.drop("split"), range_bits=57), full_path, n_buckets=4)
+    write_index(build_index(part1, range_bits=57), inc_path, n_buckets=4)
+    meta = append_to_index(spark, inc_path, part2)
+
+    full = read_index(spark, full_path)
+    inc = read_index(spark, inc_path)
+    assert inc.n_docs == full.n_docs == 3000
+    assert abs(inc.avgdl - full.avgdl) < 1e-9
+    assert meta["bound_avgdl"] <= inc.avgdl + 1e-9
+
+    # dictionary identical
+    d_full = {r["term"]: (r["df"], r["cf"]) for r in full.dictionary.collect()}
+    d_inc = {r["term"]: (r["df"], r["cf"]) for r in inc.dictionary.collect()}
+    assert d_full == d_inc
+
+    rows = (
+        inc.dictionary.filter(~F.col("term").startswith("uniq_"))
+        .orderBy(F.asc("df"), "term")
+        .collect()
+    )
+    rare = [r["term"] for r in rows[:100]]
+    hot = [r["term"] for r in rows[-20:]]
+    rng = np.random.default_rng(3)
+    qs = [
+        (i, [rare[int(j)] for j in rng.integers(0, len(rare), 2)]
+            + [hot[int(rng.integers(0, len(hot)))]])
+        for i in range(8)
+    ]
+    a = sorted(tuple(r) for r in score_queries(full, qs, 10).collect())
+    b = sorted(tuple(r) for r in score_queries(inc, qs, 10).collect())
+    assert a == b  # exhaustive identical to full rebuild
+    c = sorted(tuple(r) for r in score_queries(inc, qs, 10, prune=True).collect())
+    assert c == a  # WAND safe under the scaled (bound_avgdl) bounds
+
+    # manifest metric totals equal the full build's postings totals
+    with open(f"{inc_path}/manifest.json") as f:
+        man_inc = _json.load(f)
+    with open(f"{full_path}/manifest.json") as f:
+        man_full = _json.load(f)
+    tot = lambda m, k: sum(b[k] for b in m["buckets"].values())
+    assert tot(man_inc, "postings") == tot(man_full, "postings")
+    toks.unpersist()
+
+
+def test_append_with_avgdl_drift_keeps_wand_safe(spark, tmp_path):
+    """Adversarial append: the base build holds only SHORT docs (low
+    avgdl), the append adds LONG docs — corpus avgdl nearly triples, so
+    the base rows' stored block-max bounds UNDERESTIMATE true tfnorms.
+    ub_scale (avgdl / bound_avgdl) must widen them; WAND results still
+    equal exhaustive."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        append_to_index,
+        read_index,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 2000).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    short = toks.filter(F.size("tokens") < 60)
+    long_ = toks.filter(F.size("tokens") >= 60)
+
+    path = str(tmp_path / "drift")
+    write_index(build_index(short, range_bits=57), path, n_buckets=4)
+    meta = append_to_index(spark, path, long_)
+    idx = read_index(spark, path)
+    assert idx.ub_scale > 1.5, (idx.avgdl, idx.bound_avgdl)
+
+    rows = (
+        idx.dictionary.filter(~F.col("term").startswith("uniq_"))
+        .orderBy(F.asc("df"), "term")
+        .collect()
+    )
+    rare = [r["term"] for r in rows[:100]]
+    hot = [r["term"] for r in rows[-20:]]
+    rng = np.random.default_rng(17)
+    qs = [
+        (i, [rare[int(j)] for j in rng.integers(0, len(rare), 2)]
+            + [hot[int(rng.integers(0, len(hot)))]])
+        for i in range(8)
+    ]
+    a = sorted(tuple(r) for r in score_queries(idx, qs, 10).collect())
+    b = sorted(tuple(r) for r in score_queries(idx, qs, 10, prune=True).collect())
+    assert a == b
+    toks.unpersist()
