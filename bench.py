@@ -130,6 +130,28 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         )
         for i in range(N_BM25_QUERIES)
     ]
+    # incremental ingestion: append a 25% delta to a persisted index
+    # (touched buckets only) — the continuous-ingestion serving shape
+    import shutil
+    import tempfile
+
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        append_to_index,
+        write_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_append_")
+    try:
+        base = wtoks.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) != 0)
+        delta = wtoks.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == 0)
+        n_delta = delta.count()
+        write_index(build_index(base, range_bits=55), tmp, n_buckets=8)
+        t, _ = _timed(lambda: append_to_index(spark, tmp, delta))
+        timings["index_append"] = round(t, 3)
+        extras["index_append_files_per_sec"] = round(n_delta / t, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     t, _ = _timed(lambda: score_queries(fine, qs_mix, 10).count())
     timings["bm25_wand_exhaustive"] = round(t, 3)
     t, _ = _timed(lambda: score_queries(fine, qs_mix, 10, prune=True).count())
