@@ -57,6 +57,18 @@ def _topk_select(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     return cand[np.lexsort((uniq[cand], -scores[cand]))[:k]]
 
 
+def _dead_ids(pdf: pd.DataFrame):
+    """Per-range tombstone ids riding the optional ``__tomb`` column
+    (same list on every row of a range — see score_queries)."""
+    if "__tomb" not in pdf.columns:
+        return None
+    v = pdf["__tomb"].iloc[0]
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    arr = np.asarray(v, dtype=np.int64)
+    return arr if arr.size else None
+
+
 def _make_scorer(k1: float, b: float, avgdl: float, k: int):
     """Scores one doc range for ALL queries in the batch.
 
@@ -67,6 +79,7 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int):
     """
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = _dead_ids(pdf)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         by_term = pdf.drop_duplicates("term")
         for term, doc_b, tf_b, dl_b in zip(
@@ -75,6 +88,9 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int):
             doc_ids = delta_varint_decode(doc_b)
             tfs = varint_decode(tf_b).astype(np.float64)
             dls = varint_decode(dl_b).astype(np.float64)
+            if dead is not None:
+                live = ~np.isin(doc_ids.view(np.int64), dead)
+                doc_ids, tfs, dls = doc_ids[live], tfs[live], dls[live]
             decoded[term] = (
                 doc_ids,
                 (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)),
@@ -136,6 +152,7 @@ def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int, ub_scale: float
                 break  # bounds are sorted — nothing below can win
             scored += 1
             qpdf = by_range[rid].sort_values("term", kind="stable")
+            dead = _dead_ids(qpdf)
             ids_parts, contrib_parts = [], []
             for term, idf, doc_b, tf_b, dl_b in zip(
                 qpdf["term"], qpdf["idf"], qpdf["doc_ids"], qpdf["tfs"], qpdf["dls"]
@@ -143,6 +160,9 @@ def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int, ub_scale: float
                 doc_ids = delta_varint_decode(doc_b)
                 tfs = varint_decode(tf_b).astype(np.float64)
                 dls = varint_decode(dl_b).astype(np.float64)
+                if dead is not None:
+                    live = ~np.isin(doc_ids.view(np.int64), dead)
+                    doc_ids, tfs, dls = doc_ids[live], tfs[live], dls[live]
                 ids_parts.append(doc_ids)
                 contrib_parts.append(
                     idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
@@ -235,6 +255,19 @@ def score_queries(
     matched = postings.filter(F.col("term").isin(terms)).join(
         F.broadcast(qt), "term"
     )
+    if index.tombstones is not None:
+        # per-range deleted-id lists ride a broadcast column; scorers
+        # mask them at decode time (Lucene live-docs semantics — corpus
+        # stats stay stale until compact_index)
+        tomb_ranges = (
+            index.tombstones.select(
+                F.col("doc_id"),
+                F.shiftright("doc_id", index.range_bits).alias("range_id"),
+            )
+            .groupBy("range_id")
+            .agg(F.collect_list("doc_id").alias("__tomb"))
+        )
+        matched = matched.join(F.broadcast(tomb_ranges), "range_id", "left")
     scorer = _make_scorer(index.k1, index.b, index.avgdl, k)
     out_schema = "query_id long, doc_id long, score double"
 

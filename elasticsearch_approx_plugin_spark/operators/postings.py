@@ -70,6 +70,14 @@ class InvertedIndex:
     # by max(1, avgdl / bound_avgdl) at query time — sup over (tf, dl)
     # of the tfnorm ratio between two avgdls is their ratio.
     bound_avgdl: float | None = None
+    # (doc_id, dl) — persisted so compaction can recompute n_docs/avgdl
+    # exactly after deletes; None on legacy/in-memory-only indexes
+    doc_stats: DataFrame | None = None
+    # deleted doc ids (Lucene live-docs analog): masked out inside the
+    # scorers at query time; corpus statistics (df, avgdl) deliberately
+    # stay stale until compact_index — exactly Lucene's
+    # deleted-docs-until-merge semantics
+    tombstones: DataFrame | None = None
 
     @property
     def ub_scale(self) -> float:
@@ -255,7 +263,10 @@ def build_index(
     dictionary = postings.groupBy("term").agg(
         F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf")
     )
-    return InvertedIndex(postings, dictionary, n_docs, avgdl, k1, b, range_bits)
+    return InvertedIndex(
+        postings, dictionary, n_docs, avgdl, k1, b, range_bits,
+        doc_stats=base.select("doc_id", "dl"),
+    )
 
 
 # -- persistence + per-partition lineage/metrics --------------------------
@@ -324,6 +335,8 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
             json.dump({"buckets": done, "n_buckets": n_buckets}, f)
 
     index.dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+    if index.doc_stats is not None:
+        index.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
     meta = {
         "n_docs": index.n_docs,
         "avgdl": index.avgdl,
@@ -343,6 +356,12 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         meta = json.load(f)
     postings = spark.read.parquet(os.path.join(path, "postings"))
     dictionary = spark.read.parquet(os.path.join(path, "dictionary"))
+    doc_stats = None
+    if os.path.isdir(os.path.join(path, "doc_stats")):
+        doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+    tombstones = None
+    if os.path.isdir(os.path.join(path, "tombstones")):
+        tombstones = spark.read.parquet(os.path.join(path, "tombstones")).distinct()
     return InvertedIndex(
         postings,
         dictionary,
@@ -353,7 +372,135 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         meta["range_bits"],
         n_buckets=meta.get("n_buckets"),
         bound_avgdl=meta.get("bound_avgdl"),
+        doc_stats=doc_stats,
+        tombstones=tombstones,
     )
+
+
+def delete_from_index(spark: SparkSession, path: str, doc_ids) -> int:
+    """Mark documents deleted — the Lucene live-docs analog.
+
+    Appends the ids to ``<path>/tombstones`` (cheap: no posting is
+    touched); scorers mask them out at query time, and — exactly like
+    Lucene's deleted-docs-until-merge — corpus statistics (df, cf,
+    avgdl, n_docs) stay stale until :func:`compact_index` physically
+    removes them. Returns the total distinct tombstone count."""
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+    else:
+        ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    ids_df.write.mode("append").parquet(os.path.join(path, "tombstones"))
+    return spark.read.parquet(os.path.join(path, "tombstones")).distinct().count()
+
+
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Physically remove tombstoned docs: decode → filter → re-encode
+    every posting row (rows whose docs all died drop entirely), rebuild
+    the dictionary from the rewritten partials, recompute
+    n_docs/avgdl from the persisted doc stats, and clear the
+    tombstones. Stored ``max_tfnorm`` values are kept — removing docs
+    can only lower the true maximum, so they remain valid (looser)
+    bounds under ``bound_avgdl`` scaling."""
+    import shutil
+
+    tomb_dir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tomb_dir):
+        return json.load(open(os.path.join(path, "meta.json")))
+    ds_dir = os.path.join(path, "doc_stats")
+    if not os.path.isdir(ds_dir):
+        raise ValueError("compact_index needs the doc_stats table (rebuild or append once)")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    tomb = set(
+        r["doc_id"] for r in spark.read.parquet(tomb_dir).distinct().collect()
+    )
+    tomb_b = spark.sparkContext.broadcast(np.fromiter(tomb, dtype=np.int64, count=len(tomb)))
+
+    def rewrite(batches):
+        import pandas as pd
+
+        dead = tomb_b.value
+        for pdf in batches:
+            out = {c: [] for c in pdf.columns}
+            for row in pdf.itertuples(index=False):
+                docs = delta_varint_decode(bytes(row.doc_ids)).view(np.int64)
+                live = ~np.isin(docs, dead)
+                if not live.any():
+                    continue  # the whole posting row died
+                if live.all():
+                    for c in pdf.columns:
+                        out[c].append(getattr(row, c))
+                    continue
+                tfs = varint_decode(bytes(row.tfs))[live]
+                dls = varint_decode(bytes(row.dls))[live]
+                kept = docs[live].view(np.uint64)
+                deltas = kept.copy()
+                deltas[1:] -= kept[:-1]
+                starts = np.array([0], dtype=np.int64)
+                out["bucket"].append(row.bucket)
+                out["term"].append(row.term)
+                out["range_id"].append(row.range_id)
+                out["df_part"].append(int(live.sum()))
+                out["cf_part"].append(int(tfs.sum()))
+                out["max_tfnorm"].append(float(row.max_tfnorm))  # still an upper bound
+                out["doc_ids"].append(bytes(varint_encode_grouped(deltas, starts)[0]))
+                out["tfs"].append(bytes(varint_encode_grouped(tfs, starts)[0]))
+                out["dls"].append(bytes(varint_encode_grouped(dls, starts)[0]))
+            if out["term"]:
+                yield pd.DataFrame(out)
+
+    old = spark.read.parquet(os.path.join(path, "postings"))
+    bucketed_schema = POSTINGS_SCHEMA + ", bucket long"
+    rewritten = old.mapInPandas(rewrite, bucketed_schema).localCheckpoint(eager=True)
+    rewritten.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    new_dict = (
+        rewritten.groupBy("term")
+        .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"))
+        .localCheckpoint(eager=True)
+    )
+    new_dict.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+
+    tomb_df = spark.read.parquet(tomb_dir).distinct()
+    live_stats = (
+        spark.read.parquet(ds_dir)
+        .join(tomb_df, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    row = live_stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    live_stats.write.mode("overwrite").parquet(ds_dir)
+    shutil.rmtree(tomb_dir)
+
+    # refresh the per-bucket manifest metrics
+    mpath = os.path.join(path, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        metrics = (
+            rewritten.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("df_part").alias("postings"),
+                F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
+            )
+            .collect()
+        )
+        manifest["buckets"] = {
+            str(int(m["bucket"])): {
+                "rows": m["rows"], "postings": m["postings"], "bytes": m["bytes"]
+            }
+            for m in metrics
+        }
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+
+    meta["n_docs"] = int(row["n"])
+    meta["avgdl"] = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    tomb_b.unpersist()
+    return meta
 
 
 def _merge_posting_rows(batches):
@@ -468,6 +615,13 @@ def append_to_index(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # doc stats: the delta's (doc_id, dl) rows append (compaction and
+    # exact stats recompute depend on completeness, so only when the
+    # base build wrote them — write_index always does now)
+    ds_dir = os.path.join(path, "doc_stats")
+    if os.path.isdir(ds_dir) and delta.doc_stats is not None:
+        delta.doc_stats.write.mode("append").parquet(ds_dir)
 
     # dictionary: disjoint docs → df/cf sum across builds
     old_dict = spark.read.parquet(os.path.join(path, "dictionary"))

@@ -397,3 +397,69 @@ def test_append_with_avgdl_drift_keeps_wand_safe(spark, tmp_path):
     b = sorted(tuple(r) for r in score_queries(idx, qs, 10, prune=True).collect())
     assert a == b
     toks.unpersist()
+
+
+def test_delete_tombstones_then_compact(spark, tmp_path):
+    """Lucene-parity deletes: tombstoned docs vanish from results
+    immediately (scores of live docs unchanged — stats stay stale,
+    exactly like deleted-docs-until-merge); compact_index then
+    physically removes them and results equal a full rebuild on the
+    live corpus, for BOTH the exhaustive and WAND paths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        compact_index,
+        delete_from_index,
+        read_index,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 2000).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    path = str(tmp_path / "del")
+    write_index(build_index(toks, range_bits=57), path, n_buckets=4)
+    idx = read_index(spark, path)
+
+    qs = [(0, ["def", "class"]), (1, ["merge", "sort", "scan"]), (2, ["import"])]
+    pre = score_queries(idx, qs, 60).collect()  # deep pre-delete baseline
+    # victims: every 3rd doc of each query's pre-delete top, plus one shared
+    victims = sorted({r["doc_id"] for i, r in enumerate(pre) if i % 3 == 0})
+    n_tomb = delete_from_index(spark, path, victims)
+    assert n_tomb == len(victims)
+
+    idx2 = read_index(spark, path)
+    post = score_queries(idx2, qs, 10).collect()
+    got_ids = {r["doc_id"] for r in post}
+    assert got_ids.isdisjoint(victims)
+    # live docs keep their PRE-delete scores; expected top-10 = deep
+    # baseline minus victims, ranks renumbered
+    exp = []
+    for qid in (0, 1, 2):
+        rows = [r for r in pre if r["query_id"] == qid and r["doc_id"] not in victims]
+        exp += [
+            (qid, r["doc_id"], r["score"], i + 1) for i, r in enumerate(rows[:10])
+        ]
+    assert sorted(tuple(r) for r in post) == sorted(exp)
+    wand_post = score_queries(idx2, qs, 10, prune=True).collect()
+    assert sorted(tuple(r) for r in wand_post) == sorted(exp)
+
+    # compact: physical removal + exact stats recompute
+    meta = compact_index(spark, path)
+    idx3 = read_index(spark, path)
+    assert idx3.tombstones is None
+    assert meta["n_docs"] == 2000 - len(victims) == idx3.n_docs
+
+    live = toks.filter(~F.col("doc_id").isin(victims))
+    rebuilt = build_index(live, range_bits=57)
+    assert abs(idx3.avgdl - rebuilt.avgdl) < 1e-9
+    a = sorted(tuple(r) for r in score_queries(rebuilt, qs, 10).collect())
+    b = sorted(tuple(r) for r in score_queries(idx3, qs, 10).collect())
+    c = sorted(tuple(r) for r in score_queries(idx3, qs, 10, prune=True).collect())
+    assert a == b == c
+    toks.unpersist()
