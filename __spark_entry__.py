@@ -135,6 +135,35 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round(F.avg(F.size("tokens")), 6).alias("avgdl"),
     )
 
+    # index lifecycle under the gate: build→write→append→delete→score.
+    # Append is provably identical to a full rebuild, and deletes use
+    # Lucene's stale-stats semantics (scores computed with full-corpus
+    # stats, tombstoned docs filtered) — both SQL-expressible.
+    def _lifecycle_index(spark, sf, delete_ids):
+        import tempfile
+
+        from elasticsearch_approx_plugin_spark.operators.postings import (
+            append_to_index,
+            delete_from_index,
+            read_index,
+            write_index,
+        )
+
+        toks = _tokens(spark, sf)
+        tmp = tempfile.mkdtemp(prefix="gate_lifecycle_")
+        write_index(build_index(toks.filter("doc_id % 4 != 0"), range_bits=9), tmp, n_buckets=4)
+        append_to_index(spark, tmp, toks.filter("doc_id % 4 = 0"))
+        if delete_ids:
+            delete_from_index(spark, tmp, delete_ids)
+        return read_index(spark, tmp)
+
+    q["bm25_topk_appended"] = lambda spark, sf: score_queries(
+        _lifecycle_index(spark, sf, []), BM25_QUERIES, K
+    )
+    q["bm25_topk_deleted"] = lambda spark, sf: score_queries(
+        _lifecycle_index(spark, sf, list(range(25))), BM25_QUERIES, K, prune=True
+    )
+
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "hour"
@@ -734,6 +763,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25,
         "bm25_topk_pruned": _BM25,  # pruning is provably result-identical
+        "bm25_topk_appended": _BM25,  # append == full rebuild, provably
+        # deletes: full-corpus stats, tombstoned docs filtered pre-rank
+        # (Lucene deleted-docs-until-merge semantics)
+        "bm25_topk_deleted": _BM25.replace(
+            "FROM scores QUALIFY", "FROM scores WHERE doc_id >= 25 QUALIFY"
+        ),
         "index_dictionary": f"WITH tok AS ({_TOK}) "
         "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY 1",
         "index_doc_stats": f"WITH tok AS ({_TOK}), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1) "
