@@ -140,3 +140,35 @@ def test_global_facet_ignores_enclosing_filter(spark, sf_dir_med):
 
     with pytest.raises(ValueError, match="global_df"):
         DateFacetQuery("ts", "day", global_facet=True).run(narrowed)
+
+
+def test_job_scripts_end_to_end(tmp_path):
+    """The spark-submit entry points drive the full lifecycle:
+    bootstrap (--append on empty), append, WAND query — each a real
+    subprocess, the deployment surface the north rule names."""
+    import json
+    import subprocess
+    import sys
+
+    root = "/root/repo"
+    out = str(tmp_path / "idx")
+
+    def run(*args):
+        proc = subprocess.run(
+            [sys.executable, *args], capture_output=True, text=True, cwd=root
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+
+    r1 = run(f"{root}/scripts/build_index_job.py", "--generate", "400",
+             "--output", out, "--n-buckets", "2", "--range-bits", "57", "--append")
+    assert r1[-1]["n_docs"] == 400
+    r2 = run(f"{root}/scripts/build_index_job.py", "--generate", "400",
+             "--output", out, "--n-buckets", "2", "--range-bits", "57", "--append")
+    # same 400 generated docs again → same hash ids → postings double up
+    # per doc; n_docs grows (append trusts the caller on id disjointness)
+    assert r2[-1]["appended"] is True
+    r3 = run(f"{root}/scripts/query_index_job.py", "--index", out,
+             "--query", "def class", "--prune", "--k", "3")
+    assert len(r3[0]["topk"]) == 3
+    assert r3[1]["n_queries"] == 1
