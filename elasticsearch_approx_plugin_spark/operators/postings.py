@@ -492,6 +492,12 @@ def compact_index(spark: SparkSession, path: str) -> dict:
             }
             for m in metrics
         }
+        # a bucket whose postings all died still counts as completed,
+        # or the resume check would see an incomplete manifest
+        for bkt in range(meta.get("n_buckets") or 0):
+            manifest["buckets"].setdefault(
+                str(bkt), {"rows": 0, "postings": 0, "bytes": 0}
+            )
         with open(mpath, "w") as f:
             json.dump(manifest, f)
 
