@@ -265,6 +265,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["date_facet_week"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "week"
     ).select(_ms(), F.col("count").alias("cnt"))
+    # multi-valued (array) TIMESTAMP KEY: one count per timestamp value
+    # per doc (reference README.md:113-116, TimestampFirstCollector.java:
+    # 147-189) — each event contributes at ts and ts+25h
+    q["date_facet_array_key"] = lambda spark, sf: date_facet(
+        _events(spark, sf).select(
+            F.array(
+                F.col("ts").cast("timestamp"),
+                F.col("ts").cast("timestamp") + F.expr("INTERVAL 25 HOURS"),
+            ).alias("tsa")
+        ),
+        "tsa", "day",
+    ).select(_ms(), F.col("count").alias("cnt"))
     # slice by a JSON-extracted field (scalar-function coverage)
     q["date_facet_json_slice"] = lambda spark, sf: date_facet(
         _events(spark, sf).withColumn("k", F.get_json_object("props", "$.k")),
@@ -299,6 +311,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens",
         max_per_partition=None,
     )
+
+    # post mode with a FILTERED corpus: only terms with >=1 visible
+    # matching doc survive (the reference walks each dictionary term's
+    # docSet intersection, TermListFacetExecutor.java:158-199; here the
+    # matching ids decode only their ranges' posting rows)
+    def _term_list_post(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.term_list import (
+            term_list_post,
+        )
+
+        return term_list_post(
+            _index(spark, sf),
+            _docs(spark, sf).filter("doc_id % 7 = 0").select("doc_id"),
+        )
+
+    q["term_list_post"] = _term_list_post
 
     # -- dedup -------------------------------------------------------------
     q["dedup_exact"] = lambda spark, sf: dedup_exact(_docs(spark, sf), "text", "doc_id")
@@ -807,6 +835,9 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_week": "SELECT epoch_ms(date_trunc('week', ts)::TIMESTAMP) AS time_ms, "
         "count(*) AS cnt FROM events GROUP BY 1",
+        "date_facet_array_key": "SELECT epoch_ms(date_trunc('day', t)::TIMESTAMP) AS time_ms, "
+        "count(*) AS cnt FROM (SELECT unnest([ts, ts + INTERVAL '25' HOUR]) AS t FROM events) "
+        "GROUP BY 1",
         "date_facet_json_slice": f"SELECT {ev_day} AS time_ms, "
         "json_extract_string(props, '$.k') AS term, count(*) AS cnt FROM events GROUP BY 1, 2",
         "date_facet_sliced_distinct": f"SELECT {ev_day} AS time_ms, event_type AS term, "
@@ -817,6 +848,8 @@ def oracle_sql() -> dict[str, str]:
         "term_list_text": f"WITH tok AS ({_TOK}) SELECT DISTINCT term FROM tok",
         "term_list_sampled_det": f"WITH tok AS ({_TOK}) "
         "SELECT DISTINCT term FROM tok WHERE doc_id % 3 = 0",
+        "term_list_post": f"WITH tok AS ({_TOK}) "
+        "SELECT DISTINCT term FROM tok WHERE doc_id % 7 = 0",
         "term_list_numeric": "SELECT DISTINCT n_chars::VARCHAR AS term FROM documents",
         "dedup_exact": "SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)",

@@ -69,7 +69,6 @@ def cosine_topk(
             for qi in range(len(qids)):
                 cand_ids = np.concatenate([best_ids[qi], ids])
                 cand_s = np.concatenate([best_scores[qi], sims[:, qi]])
-                sel = cand_ids
                 if cand_ids.size > k:
                     cut = np.partition(-cand_s, k - 1)[k - 1]
                     keep = np.flatnonzero(-cand_s <= cut)

@@ -57,29 +57,22 @@ def _topk_select(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     return cand[np.lexsort((uniq[cand], -scores[cand]))[:k]]
 
 
-def _dead_ids(pdf: pd.DataFrame):
-    """Per-range tombstone ids riding the optional ``__tomb`` column
-    (same list on every row of a range — see score_queries)."""
-    if "__tomb" not in pdf.columns:
-        return None
-    v = pdf["__tomb"].iloc[0]
-    if v is None or (isinstance(v, float) and v != v):
-        return None
-    arr = np.asarray(v, dtype=np.int64)
-    return arr if arr.size else None
-
-
-def _make_scorer(k1: float, b: float, avgdl: float, k: int):
+def _make_scorer(k1: float, b: float, avgdl: float, k: int, tomb=None):
     """Scores one doc range for ALL queries in the batch.
 
     Each (term, range) posting row is varint-decoded exactly once and
     its tf-component cached; queries then gather their terms' arrays in
     sorted-term order (fixed float accumulation order ⇒ deterministic
     scores at any parallelism) and keep a local top-k.
+
+    ``tomb`` is an optional broadcast of ``{range_id: sorted int64
+    tombstone ids}`` — shipped once per executor instead of riding
+    every posting row as a column (whose shuffle/Arrow volume would
+    scale as posting_rows × deletes_per_range; ADVICE r2).
     """
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        dead = _dead_ids(pdf)
+        dead = tomb.value.get(int(pdf["range_id"].iloc[0])) if tomb else None
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         by_term = pdf.drop_duplicates("term")
         for term, doc_b, tf_b, dl_b in zip(
@@ -116,7 +109,9 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int):
     return score_group
 
 
-def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int, ub_scale: float = 1.0):
+def _make_wand_scorer(
+    k1: float, b: float, avgdl: float, k: int, ub_scale: float = 1.0, tomb=None
+):
     """One query's block-max WAND walk, inside a single task.
 
     Ranges visit in (ub desc, range_id asc) order; a running top-k
@@ -152,7 +147,7 @@ def _make_wand_scorer(k1: float, b: float, avgdl: float, k: int, ub_scale: float
                 break  # bounds are sorted — nothing below can win
             scored += 1
             qpdf = by_range[rid].sort_values("term", kind="stable")
-            dead = _dead_ids(qpdf)
+            dead = tomb.value.get(int(rid)) if tomb else None
             ids_parts, contrib_parts = [], []
             for term, idf, doc_b, tf_b, dl_b in zip(
                 qpdf["term"], qpdf["idf"], qpdf["doc_ids"], qpdf["tfs"], qpdf["dls"]
@@ -255,20 +250,34 @@ def score_queries(
     matched = postings.filter(F.col("term").isin(terms)).join(
         F.broadcast(qt), "term"
     )
+    tomb_b = None
     if index.tombstones is not None:
-        # per-range deleted-id lists ride a broadcast column; scorers
-        # mask them at decode time (Lucene live-docs semantics — corpus
-        # stats stay stale until compact_index)
-        tomb_ranges = (
-            index.tombstones.select(
-                F.col("doc_id"),
-                F.shiftright("doc_id", index.range_bits).alias("range_id"),
-            )
-            .groupBy("range_id")
-            .agg(F.collect_list("doc_id").alias("__tomb"))
+        # tombstones ship to the scorers as ONE broadcast dict of
+        # per-range numpy arrays instead of a per-row column (which
+        # would shuffle posting_rows × deletes_per_range values —
+        # ADVICE r2). Driver collect is O(deletes-since-last-compact),
+        # bounded by compaction cadence, and masking keeps Lucene
+        # live-docs semantics: corpus stats stay stale until
+        # compact_index.
+        ids = np.fromiter(
+            (r[0] for r in index.tombstones.select("doc_id").collect()),
+            dtype=np.int64,
         )
-        matched = matched.join(F.broadcast(tomb_ranges), "range_id", "left")
-    scorer = _make_scorer(index.k1, index.b, index.avgdl, k)
+        if ids.size:
+            rid = ids >> index.range_bits
+            order = np.argsort(rid, kind="stable")
+            ids, rid = ids[order], rid[order]
+            starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+            per_range = {
+                int(rid[s]): np.sort(ids[s:e])
+                for s, e in zip(starts, np.r_[starts[1:], ids.size])
+            }
+            tomb_b = spark.sparkContext.broadcast(per_range)
+    # avgdl==0 only happens on an index whose docs were ALL deleted and
+    # compacted — no postings remain, so the 1.0 never reaches a score;
+    # it just keeps the tfnorm denominator finite (ADVICE r2).
+    avgdl = index.avgdl or 1.0
+    scorer = _make_scorer(index.k1, index.b, avgdl, k, tomb_b)
     out_schema = "query_id long, doc_id long, score double"
 
     if prune:
@@ -278,7 +287,7 @@ def score_queries(
             for qid, ts in queries
             if sum(df_by_term.get(t, 0) for t in set(ts)) > wand_max_postings
         }
-        wand = _make_wand_scorer(index.k1, index.b, index.avgdl, k, index.ub_scale)
+        wand = _make_wand_scorer(index.k1, index.b, avgdl, k, index.ub_scale, tomb_b)
         wand_in = matched
         if heavy_qids:
             wand_in = matched.filter(~F.col("query_id").isin(sorted(heavy_qids)))

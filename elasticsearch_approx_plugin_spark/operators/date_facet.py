@@ -180,11 +180,17 @@ def date_facet(
     """
     if value_field and distinct_field:
         raise ValueError("value_field and distinct_field are mutually exclusive")
+    # the reference supports multi-valued fields in ALL roles including
+    # the timestamp key (README.md:113-116; TimestampFirstCollector.java:
+    # 147-189 iterates per-doc timestamps — counting mode emits one
+    # count per timestamp value): an array key explodes first, so every
+    # timestamp value lands in its own bucket
+    df, key_col = _maybe_explode(df, key_field)
     b = bucket_expr(
-        key_field, interval, pre_zone, post_zone, pre_offset, post_offset,
-        factor, df.schema[key_field].dataType, pre_zone_adjust_large_interval,
+        key_col, interval, pre_zone, post_zone, pre_offset, post_offset,
+        factor, df.schema[key_col].dataType, pre_zone_adjust_large_interval,
     )
-    df = df.filter(F.col(key_field).isNotNull()).withColumn("time", b)
+    df = df.filter(F.col(key_col).isNotNull()).withColumn("time", b)
 
     keys = ["time"]
     if slice_field is not None:

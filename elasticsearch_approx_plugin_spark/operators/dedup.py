@@ -485,25 +485,61 @@ def simhash(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
     return agg.select("id", packed.alias("simhash"))
 
 
-def simhash_candidates(sig_df: DataFrame) -> DataFrame:
-    """Near-dup candidate pairs: equality on any 16-bit band of the
-    simhash (catches all pairs with Hamming distance ≤ 3)."""
+def simhash_candidates(
+    sig_df: DataFrame,
+    n_bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dup candidate pairs: equality on any ``64/n_bands``-bit band
+    of the simhash (with 4 bands, catches all pairs at Hamming ≤ 3).
+
+    Occupancy guard (VERDICT r2 #1 — the same failure ``max_df`` guards
+    in :func:`ngram_jaccard_pairs`): at 10^9+ docs a band bucket holds
+    ~n/2^width members and the equality self-join goes quadratic.
+    Buckets over ``max_bucket`` members sub-split by the NEXT band's
+    bits before joining — members then pair only when TWO bands match
+    (≈ half the signature), which a bucket can only stay hot under if
+    its members are genuine near-identical mass duplicates, where the
+    pair list itself is inherently quadratic. The hot-bucket detection
+    is a non-broadcast join (counts table is bucket-cardinality sized).
+    The sub-split trades recall inside pathological buckets (a Hamming≤3
+    pair whose differing bits fall in the sub-split band is missed) for
+    bounded fan-out; ``max_bucket=None`` disables it.
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     banded = sig_df.select(
         "id",
+        F.col("simhash"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), bi * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
-                    for bi in range(4)
+                    for bi in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "bucket").count()
+        hot = counts.filter(F.col("count") > max_bucket).select("band", "bucket")
+        cold = banded.join(hot, ["band", "bucket"], "left_anti")
+        # hot members re-bucket on (this band, next band) — a 2×width-bit key
+        next_band_bits = (
+            f"shiftleft(shiftright(simhash, cast(pmod(band + 1, {n_bands}) * {width} as int)) "
+            f"& {mask}, {width})"
+        )
+        sub = banded.join(hot, ["band", "bucket"], "left_semi").withColumn(
+            "bucket", F.expr(f"bucket | {next_band_bits}")
+        )
+        banded = cold.unionByName(sub)
+    banded = banded.drop("simhash")
     return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])

@@ -10,8 +10,12 @@ Reference: ``TermListFacetExecutor.java`` (/root/reference) — two modes:
   distinct (``mapInPandas`` — the shard cap) → global ``distinct()``.
 - ``post``: iterate the term *dictionary* instead of documents —
   recommended for low-cardinality fields (``README.md:218-220``); here
-  that is a scan of the index's dictionary table. ``sample`` is
-  rejected in post mode exactly like the reference
+  that is a scan of the index's dictionary table, restricted (when the
+  caller filtered the corpus) to terms with ≥1 VISIBLE matching doc —
+  the reference walks each dictionary term's docSet intersection
+  (``TermListFacetExecutor.java:158-199``); we decode only the posting
+  rows in the matching docs' ranges (:func:`term_list_post`).
+  ``sample`` is rejected in post mode exactly like the reference
   (``TermListFacetExecutor.java:150-153``).
 
 Numeric fields round-trip through strings (the reference decodes
@@ -47,6 +51,68 @@ def _cap_partition_distinct(cap: int):
     return fn
 
 
+def _post_mode_terms(batches):
+    """Vectorized (one flat varint pass per partition) 'does this term
+    have a visible matching doc' test over posting rows joined with
+    their range's sorted match-id array (``__match``). docIDs are
+    globally unique, so the partition's match ids union into one flat
+    membership array regardless of range."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .postings import _decode_doc_rows
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    tbl = pa.Table.from_batches(chunks)
+    if tbl.num_rows == 0:
+        return
+    lists = tbl["__match"].combine_chunks()
+    match = np.unique(lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+    df_row = tbl["df_part"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    abs_doc = _decode_doc_rows(tbl["doc_ids"], df_row)
+    hit = np.isin(abs_doc.view(np.int64), match).astype(np.int64)
+    row_starts = np.zeros(df_row.size, dtype=np.int64)
+    np.cumsum(df_row[:-1], out=row_starts[1:])
+    idx = np.flatnonzero(np.add.reduceat(hit, row_starts) > 0)
+    if idx.size:
+        yield from tbl.select(["term"]).take(pa.array(idx)).to_batches()
+
+
+def term_list_post(index, matching_ids: DataFrame | None = None) -> DataFrame:
+    """Post mode over a persisted/in-memory index: the term dictionary,
+    restricted to terms with ≥1 visible matching doc.
+
+    Matches ``TermListFacetExecutor.java:158-199`` (/root/reference):
+    the reference iterates the dictionary and keeps a term iff its
+    docSet intersects the query's matching docs. Spark shape: the
+    matching doc ids (minus tombstones — deleted docs are not visible)
+    group into per-range sorted arrays, inner-join the posting rows of
+    those ranges only (ranges without matches are never read), and one
+    vectorized Arrow pass per partition keeps the rows whose decoded
+    docIDs hit the match set. ``matching_ids=None`` means an unfiltered
+    corpus — every dictionary term qualifies, no posting is decoded.
+    """
+    if matching_ids is None:
+        return index.dictionary.select(
+            F.col("term").cast("string").alias("term")
+        ).distinct()
+    m = matching_ids.select(F.col(matching_ids.columns[0]).alias("doc_id"))
+    if index.tombstones is not None:
+        m = m.join(index.tombstones.select("doc_id"), "doc_id", "left_anti")
+    per_range = (
+        m.withColumn("range_id", F.shiftright("doc_id", index.range_bits))
+        .groupBy("range_id")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__match"))
+    )
+    return (
+        index.postings.join(per_range, "range_id")
+        .mapInArrow(_post_mode_terms, "term string")
+        .distinct()
+    )
+
+
 def term_list(
     df: DataFrame,
     field: str,
@@ -55,6 +121,8 @@ def term_list(
     seed: int = 0,
     mode: str = "collector",
     dictionary: DataFrame | None = None,
+    index=None,
+    matching_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct terms of ``field`` → single-column ``term`` DataFrame."""
     if not (0.0 < sample <= 1.0):
@@ -62,8 +130,10 @@ def term_list(
     if mode == "post":
         if sample != 1.0:
             raise ValueError("sampling not supported in post mode")
+        if index is not None:
+            return term_list_post(index, matching_ids)
         if dictionary is None:
-            raise ValueError("post mode needs the index dictionary table")
+            raise ValueError("post mode needs the index (or its dictionary table)")
         return dictionary.select(F.col("term").cast("string").alias("term")).distinct()
     if mode != "collector":
         raise ValueError(f"unknown mode {mode!r}")

@@ -9,6 +9,7 @@ are comparable against UTC-naive oracles (DuckDB).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -30,6 +31,20 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # AQE's partition coalescing floors at spark.default.parallelism
+    # (parallelismFirst=true), which in local mode is 1 task per core —
+    # zero skew slack. Our post-shuffle stages are Python/Arrow
+    # pipelines (mapInArrow encode) over zipf-skewed keys, where one
+    # slow partition stalls the stage; 4 waves per core restores the
+    # deliberate fine granularity AQE would otherwise coalesce away
+    # (measured: 8-core index build 18.7 s → 12.2 s, and the 2→8
+    # scaling efficiency 0.56 → 0.88 on the shuffle+encode phase).
+    # On a real cluster, size default.parallelism ≈ 2-4× total cores
+    # for the same reason.
+    m = re.match(r"local\[(\d+|\*)\]", master)
+    local_cores = (
+        (os.cpu_count() or 8) if m and m.group(1) == "*" else int(m.group(1)) if m else None
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,6 +60,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
+    if local_cores and "spark.default.parallelism" not in (extra_conf or {}):
+        builder = builder.config("spark.default.parallelism", str(local_cores * 4))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

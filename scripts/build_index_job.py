@@ -7,9 +7,12 @@
     # or --generate N to build from the deterministic synthetic corpus
 
 Resumable: re-running with the same --output skips buckets already in
-the manifest. Prints one JSON line of build metrics (files/sec, rows,
-postings, bytes) — the per-partition lineage lives in
-<output>/manifest.json.
+the manifest; a retried --append short-circuits inside append_to_index
+(delta fingerprint in manifest.json["appends"], per-doc anti-join) —
+re-running the same append job is a no-op, and a crashed append leaves
+_append_pending.json which the next run refuses to proceed past.
+Prints one JSON line of build metrics (files/sec, rows, postings,
+bytes) — the per-partition lineage lives in <output>/manifest.json.
 """
 
 from __future__ import annotations

@@ -104,3 +104,47 @@ def test_value_and_slice_combined(multival):
     # doc0: 3 vals × slice x → (1,x,3); doc1: 1 val × {x,y};
     # doc2: 1 val × y; doc3: 0 vals → absent
     assert got == {(1, "x", 4), (1, "y", 1), (2, "y", 1)}
+
+
+def test_date_facet_array_key(spark):
+    """Multi-valued timestamp KEY (reference README.md:113-116 /
+    TimestampFirstCollector.java:147-189): counting mode emits one
+    count per timestamp VALUE; empty/null arrays contribute nothing."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.operators.date_facet import date_facet
+
+    rows = [
+        ([dt.datetime(2024, 1, 1, 5), dt.datetime(2024, 1, 2, 6)], "a", 1),
+        ([dt.datetime(2024, 1, 1, 7)], "b", 2),
+        ([], "a", 3),
+        (None, "a", 4),
+    ]
+    df = spark.createDataFrame(rows, "tsa array<timestamp>, et string, uid long")
+    out = {
+        r["d"]: r["count"]
+        for r in date_facet(df, "tsa", "day")
+        .select(F.date_format("time", "yyyy-MM-dd").alias("d"), "count")
+        .collect()
+    }
+    assert out == {"2024-01-01": 2, "2024-01-02": 1}
+    # array key composes with slice + distinct
+    sliced = {
+        (r["d"], r["term"]): (r["count"], r["distinct_count"])
+        for r in date_facet(
+            df, "tsa", "day", slice_field="et", distinct_field="uid",
+            distinct_method="exact",
+        )
+        .select(
+            F.date_format("time", "yyyy-MM-dd").alias("d"),
+            "term", "count", "distinct_count",
+        )
+        .collect()
+    }
+    assert sliced == {
+        ("2024-01-01", "a"): (1, 1),
+        ("2024-01-01", "b"): (1, 1),
+        ("2024-01-02", "a"): (1, 1),
+    }

@@ -463,3 +463,189 @@ def test_delete_tombstones_then_compact(spark, tmp_path):
     c = sorted(tuple(r) for r in score_queries(idx3, qs, 10, prune=True).collect())
     assert a == b == c
     toks.unpersist()
+
+
+def test_append_idempotency_replay_overlap_empty(spark, tmp_path):
+    """ADVICE r2: a replayed delta short-circuits (fingerprint), an
+    overlapping delta adds only the genuinely new docs, and an empty
+    delta no-ops — df/cf never inflate, docs never score twice."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        append_to_index,
+        read_index,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 1200).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+        F.pmod(F.xxhash64("commit"), F.lit(3)).alias("split"),
+    ).persist()
+    base = toks.filter("split != 0").drop("split")
+    delta = toks.filter("split = 0").drop("split")
+
+    path = str(tmp_path / "idem")
+    write_index(build_index(base, range_bits=57), path, n_buckets=4)
+    m1 = append_to_index(spark, path, delta)
+
+    def snapshot():
+        idx = read_index(spark, path)
+        d = {r["term"]: (r["df"], r["cf"]) for r in idx.dictionary.collect()}
+        qs = [(0, ["def", "class"]), (1, ["import", "return"])]
+        res = sorted(tuple(r) for r in score_queries(idx, qs, 10).collect())
+        return idx.n_docs, idx.avgdl, d, res
+
+    snap1 = snapshot()
+    # exact replay: fingerprint short-circuit, zero mutation
+    m2 = append_to_index(spark, path, delta)
+    assert m2 == m1
+    assert snapshot() == snap1
+    # overlapping delta (half old, half already-appended): per-doc
+    # anti-join drops every existing id → still a no-op on the index
+    overlap = delta.unionByName(base.limit(50))
+    m3 = append_to_index(spark, path, overlap)
+    assert m3["n_docs"] == m1["n_docs"]
+    assert snapshot() == snap1
+    # empty delta: clean no-op (and build_index itself raises on empty)
+    m4 = append_to_index(spark, path, delta.filter("doc_id < 0"))
+    assert m4["n_docs"] == m1["n_docs"]
+    assert snapshot() == snap1
+    with pytest.raises(ValueError, match="no documents"):
+        build_index(delta.filter("doc_id < 0"), range_bits=57)
+    # fingerprints recorded in the manifest
+    with open(f"{path}/manifest.json") as f:
+        man = _json.load(f)
+    assert len(man["appends"]) >= 3
+    toks.unpersist()
+
+
+def test_append_pending_marker_detects_crash(spark, tmp_path):
+    """A crashed append leaves _append_pending.json; the next append
+    must refuse instead of compounding a half-written index."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import append_to_index
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 300).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    )
+    path = str(tmp_path / "pend")
+    write_index(build_index(toks, range_bits=57), path, n_buckets=2)
+    with open(f"{path}/_append_pending.json", "w") as f:
+        _json.dump({"fingerprint": "dead:beef"}, f)
+    with pytest.raises(ValueError, match="crashed mid-write"):
+        append_to_index(spark, path, toks)
+
+
+def test_delete_then_reingest_resurrects(spark, tmp_path):
+    """ADVICE r2: re-appending a tombstoned docID (hash ids are a pure
+    function of the content key) resurrects it — Lucene's delete+add
+    update pattern — instead of staying masked and then being silently
+    compacted away."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        append_to_index,
+        compact_index,
+        delete_from_index,
+        read_index,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 800).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    path = str(tmp_path / "resurrect")
+    write_index(build_index(toks, range_bits=57), path, n_buckets=4)
+
+    qs = [(0, ["def", "class"]), (1, ["import", "return"])]
+    before = sorted(tuple(r) for r in score_queries(read_index(spark, path), qs, 10).collect())
+    victims = sorted({t[1] for t in before})[:5]
+    delete_from_index(spark, path, victims)
+    masked = sorted(
+        tuple(r) for r in score_queries(read_index(spark, path), qs, 10).collect()
+    )
+    assert {t[1] for t in masked}.isdisjoint(victims)
+
+    # re-ingest the SAME docs (same ids): tombstones clear, postings
+    # (never physically removed) become visible — results equal the
+    # pre-delete state exactly
+    revived = toks.filter(F.col("doc_id").isin(victims))
+    append_to_index(spark, path, revived)
+    idx = read_index(spark, path)
+    assert idx.tombstones is None or idx.tombstones.count() == 0
+    after = sorted(tuple(r) for r in score_queries(idx, qs, 10).collect())
+    assert after == before
+    # and a compact after the resurrect must NOT remove them
+    compact_index(spark, path)
+    idx2 = read_index(spark, path)
+    assert idx2.n_docs == 800
+    assert sorted(tuple(r) for r in score_queries(idx2, qs, 10).collect()) == before
+    toks.unpersist()
+
+
+def test_compact_join_path_million_tombstones(spark, tmp_path, monkeypatch):
+    """VERDICT r2 #7: above the broadcast threshold, compaction masks
+    via a per-range JOIN — no driver materialization. ~10^6 tombstones
+    (a handful real victims, the rest absent ids) compact to the same
+    index a rebuild on the live corpus gives."""
+    from pyspark.sql import functions as F
+
+    import elasticsearch_approx_plugin_spark.operators.postings as P
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        compact_index,
+        delete_from_index,
+        read_index,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 800).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    path = str(tmp_path / "bigtomb")
+    write_index(build_index(toks, range_bits=57), path, n_buckets=4)
+
+    victims = [r["doc_id"] for r in toks.limit(40).collect()][:20]
+    delete_from_index(spark, path, spark.createDataFrame(
+        [(v,) for v in victims], "doc_id long"
+    ))
+    # ~10^6 absent ids (doc ids are 63-bit hashes; small ints never collide)
+    delete_from_index(
+        spark, path, spark.range(1_000_000).select(F.col("id").alias("doc_id"))
+    )
+    monkeypatch.setattr(P, "COMPACT_BROADCAST_MAX_TOMBSTONES", 1000)
+    meta = compact_index(spark, path)
+    assert meta["n_docs"] == 800 - len(victims)
+
+    idx = read_index(spark, path)
+    live = toks.filter(~F.col("doc_id").isin(victims))
+    rebuilt = build_index(live, range_bits=57)
+    qs = [(0, ["def", "class"]), (1, ["import", "return"]), (2, ["merge", "sort"])]
+    a = sorted(tuple(r) for r in score_queries(rebuilt, qs, 10).collect())
+    b = sorted(tuple(r) for r in score_queries(idx, qs, 10).collect())
+    assert a == b
+    d_re = {r["term"]: (r["df"], r["cf"]) for r in rebuilt.dictionary.collect()}
+    d_cp = {r["term"]: (r["df"], r["cf"]) for r in idx.dictionary.collect()}
+    assert d_re == d_cp
+    toks.unpersist()

@@ -79,3 +79,65 @@ def test_sample_validation(docs):
         term_list(docs, "text", sample=0.0)
     with pytest.raises(ValueError):
         term_list(docs, "text", sample=1.5)
+
+
+def test_term_list_post_visible_docs_only(spark):
+    """Post mode with a filtered corpus keeps ONLY terms with >=1
+    visible matching doc (TermListFacetExecutor.java:158-199) — the
+    synthetic corpus's per-doc uniq_* terms make the difference
+    observable. Tombstoned docs are not visible."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import build_index
+    from elasticsearch_approx_plugin_spark.operators.term_list import (
+        term_list,
+        term_list_post,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 600).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    idx = build_index(toks, range_bits=57)
+    idx.postings = idx.postings.persist()
+
+    matching = toks.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id")
+    got = {r["term"] for r in term_list_post(idx, matching).collect()}
+    exp = {
+        r["term"]
+        for r in toks.join(matching, "doc_id", "left_semi")
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+        .collect()
+    }
+    assert got == exp
+    full = {r["term"] for r in term_list_post(idx).collect()}
+    assert got < full  # filtered corpus really restricts the list
+    # API parity through term_list(mode="post", index=...)
+    via_mode = {
+        r["term"]
+        for r in term_list(
+            toks, "tokens", mode="post", index=idx, matching_ids=matching
+        ).collect()
+    }
+    assert via_mode == exp
+
+    # tombstoned docs are invisible to post mode
+    victims = matching.orderBy("doc_id").limit(3)
+    idx.tombstones = victims
+    got2 = {r["term"] for r in term_list_post(idx, matching).collect()}
+    exp2 = {
+        r["term"]
+        for r in toks.join(matching, "doc_id", "left_semi")
+        .join(victims, "doc_id", "left_anti")
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+        .collect()
+    }
+    assert got2 == exp2
+    idx.postings.unpersist()
+    toks.unpersist()
