@@ -145,10 +145,21 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         base = wtoks.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) != 0)
         delta = wtoks.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == 0)
         n_delta = delta.count()
-        write_index(build_index(base, range_bits=55), tmp, n_buckets=8)
+        n_base = wtoks.count() - n_delta
+        # time the base build+write too: the SAME corpus shape as the
+        # append, so append-vs-build throughput compares apples to
+        # apples (the headline index_build above runs on the lighter
+        # documents table)
+        t, _ = _timed(lambda: write_index(build_index(base, range_bits=55), tmp, n_buckets=8))
+        extras["synth_build_write_files_per_sec"] = round(n_base / t, 1)
         t, _ = _timed(lambda: append_to_index(spark, tmp, delta))
         timings["index_append"] = round(t, 3)
         extras["index_append_files_per_sec"] = round(n_delta / t, 1)
+        extras["append_vs_build_ratio"] = round(
+            extras["index_append_files_per_sec"]
+            / extras["synth_build_write_files_per_sec"],
+            3,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

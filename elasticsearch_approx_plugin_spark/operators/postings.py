@@ -837,7 +837,6 @@ def append_to_index(
         existing = spark.read.parquet(ds_dir).select(F.col("doc_id").alias(id_col))
         docs = docs.join(existing, id_col, "left_anti")
     docs = docs.persist()
-    n_new = docs.count()
 
     with open(pending_path, "w") as f:
         json.dump({"fingerprint": fingerprint}, f)
@@ -853,7 +852,8 @@ def append_to_index(
             kept.write.mode("overwrite").parquet(tomb_dir)
 
     n_buckets = meta["n_buckets"]
-    if n_new == 0:
+
+    def _finish_noop() -> dict:
         docs.unpersist(blocking=False)
         manifest.setdefault("appends", []).append(fingerprint)
         with open(mpath, "w") as f:
@@ -861,10 +861,17 @@ def append_to_index(
         os.remove(pending_path)
         return meta
 
-    delta = build_index(
-        docs, tokens_col=tokens_col, id_col=id_col,
-        range_bits=meta["range_bits"], k1=meta["k1"], b=meta["b"],
-    )
+    # build_index's own stats pass detects an empty delta — no separate
+    # count job (the first action on the persisted docs also caches it)
+    try:
+        delta = build_index(
+            docs, tokens_col=tokens_col, id_col=id_col,
+            range_bits=meta["range_bits"], k1=meta["k1"], b=meta["b"],
+        )
+    except ValueError as e:
+        if "no documents" not in str(e):
+            raise
+        return _finish_noop()
     delta_pb = delta.postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     ).persist()

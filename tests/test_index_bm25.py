@@ -649,3 +649,92 @@ def test_compact_join_path_million_tombstones(spark, tmp_path, monkeypatch):
     d_cp = {r["term"]: (r["df"], r["cf"]) for r in idx.dictionary.collect()}
     assert d_re == d_cp
     toks.unpersist()
+
+
+def test_lifecycle_fuzz_crud_sequence(spark, tmp_path):
+    """Randomized CRUD sequence (append / delete / resurrect-append /
+    replay / compact) with a Python-side model of the live set; at
+    every point where semantics are exact (no outstanding tombstones),
+    BM25 results AND the dictionary must equal a fresh rebuild on the
+    modeled live corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_code
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        append_to_index,
+        compact_index,
+        delete_from_index,
+        read_index,
+    )
+    from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
+
+    toks = generate_corpus(spark, 1500).select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        tokenize_code("content").alias("tokens"),
+    ).persist()
+    all_ids = sorted(r["doc_id"] for r in toks.select("doc_id").collect())
+    rng = np.random.default_rng(123)
+
+    path = str(tmp_path / "fuzz")
+    base = set(all_ids[:600])
+    write_index(
+        build_index(toks.filter(F.col("doc_id").isin(list(base))), range_bits=57),
+        path, n_buckets=4,
+    )
+    live, unused, tombs = set(base), set(all_ids[600:]), set()
+    qs = [(0, ["def", "class"]), (1, ["import", "return"]), (2, ["merge", "sort", "scan"])]
+
+    def check():
+        idx = read_index(spark, path)
+        ref = build_index(toks.filter(F.col("doc_id").isin(list(live))), range_bits=57)
+        a = sorted(tuple(r) for r in score_queries(idx, qs, 10).collect())
+        b = sorted(tuple(r) for r in score_queries(ref, qs, 10).collect())
+        assert a == b
+        c = sorted(tuple(r) for r in score_queries(idx, qs, 10, prune=True).collect())
+        assert c == a
+        d_i = {r["term"]: (r["df"], r["cf"]) for r in idx.dictionary.collect()}
+        d_r = {r["term"]: (r["df"], r["cf"]) for r in ref.dictionary.collect()}
+        assert d_i == d_r
+
+    # op 1: append 300 fresh docs
+    batch = set(rng.choice(sorted(unused), 300, replace=False).tolist())
+    append_to_index(spark, path, toks.filter(F.col("doc_id").isin(list(batch))))
+    live |= batch
+    unused -= batch
+    check()
+
+    # op 2: delete 80 docs, then resurrect 30 of them via re-append
+    victims = set(rng.choice(sorted(live), 80, replace=False).tolist())
+    delete_from_index(spark, path, sorted(victims))
+    tombs |= victims
+    revive = set(sorted(victims)[:30])
+    append_to_index(spark, path, toks.filter(F.col("doc_id").isin(list(revive))))
+    tombs -= revive
+
+    # op 3: replay op 1 exactly — a recognized replay (fingerprint
+    # short-circuit) is a TRUE no-op: it does not even resurrect
+    # tombstoned members of the delta
+    append_to_index(spark, path, toks.filter(F.col("doc_id").isin(list(batch))))
+    # ...then an overlapping append: only the 40 genuinely-new docs
+    # index, but any TOMBSTONED id in the delta resurrects (delete+add)
+    mix = set(list(sorted(batch))[:50]) | set(sorted(unused)[:40])
+    append_to_index(spark, path, toks.filter(F.col("doc_id").isin(list(mix))))
+    live |= set(sorted(unused)[:40])
+    unused -= set(sorted(unused)[:40])
+    tombs -= mix  # resurrected by the overlap append
+
+    # op 4: compact — removes the 50 still-tombstoned docs physically
+    compact_index(spark, path)
+    live -= tombs
+    tombs = set()
+    check()
+
+    # op 5: append once more after the compact
+    batch2 = set(rng.choice(sorted(unused), 100, replace=False).tolist())
+    append_to_index(spark, path, toks.filter(F.col("doc_id").isin(list(batch2))))
+    live |= batch2
+    check()
+    toks.unpersist()
