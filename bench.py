@@ -406,6 +406,16 @@ def write_bench_md(payload: dict) -> None:
         "throttled-box reading is machine-distinguishable from a plan",
         "regression (sustained 2→8 control on an idle box: 0.94).",
         "",
+        "Why 2-vs-8 and not 8-vs-32: the control PROVES the box cannot",
+        "evidence a second quadrupling — a sustained raw-CPU burn (no",
+        "Spark) measured 2026-08-17 reads 0.93-0.95 at 2→8 but only",
+        "0.65-0.70 at 8→32 (the 32-proc burn caps at ~136M ops/s ≈ 22",
+        "effective cores), and the same Spark job under taskset cpusets",
+        "read 13.4k files/s at 8 cores vs 11.5k at 32. Above ~8 sustained",
+        "cores the hypervisor, not the plan, is the denominator; the",
+        "2→8 pair with a healthy control is the honest N-vs-4N this",
+        "sandbox can produce.",
+        "",
         f"| cores | files/sec |",
         f"|---|---|",
         f"| {payload.get('scaling_cores_small')} | {payload.get('scaling_files_per_sec_small')} |",
