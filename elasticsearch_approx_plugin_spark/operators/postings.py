@@ -277,6 +277,31 @@ def build_index(
 # -- persistence + per-partition lineage/metrics --------------------------
 
 
+_EMPTY_BUCKET = {"rows": 0, "postings": 0, "bytes": 0, "distinct_terms": 0}
+
+
+def _bucket_metrics(pb: DataFrame) -> list[dict]:
+    """Per-bucket lineage metrics for the manifest: rows, postings,
+    bytes, plus an approximate distinct-term count (Spark's HLL++
+    sketch — the north-star's 'sketch registers logged per task',
+    since each bucket is one write task)."""
+    return [
+        {
+            "bucket": int(m["bucket"]),
+            "rows": m["rows"],
+            "postings": m["postings"],
+            "bytes": m["bytes"],
+            "distinct_terms": m["distinct_terms"],
+        }
+        for m in pb.groupBy("bucket").agg(
+            F.count("*").alias("rows"),
+            F.sum("df_part").alias("postings"),
+            F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
+            F.approx_count_distinct("term").alias("distinct_terms"),
+        ).collect()
+    ]
+
+
 def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
     """Persist the index with a resumable, lineage-carrying manifest.
 
@@ -313,29 +338,15 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
                 )
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            metrics = (
-                part.groupBy("bucket")
-                .agg(
-                    F.count("*").alias("rows"),
-                    F.sum("df_part").alias("postings"),
-                    F.sum(
-                        F.length("doc_ids") + F.length("tfs") + F.length("dls")
-                    ).alias("bytes"),
-                )
-                .collect()
-            )
+            metrics = _bucket_metrics(part)
         finally:
             part.unpersist()
-        found = {int(m["bucket"]) for m in metrics}
+        found = {m["bucket"] for m in metrics}
         for m in metrics:
-            done[str(int(m["bucket"]))] = {
-                "rows": m["rows"],
-                "postings": m["postings"],
-                "bytes": m["bytes"],
-            }
+            done[str(m.pop("bucket"))] = m
         for b in todo:  # buckets with zero rows still count as completed
             if b not in found:
-                done[str(b)] = {"rows": 0, "postings": 0, "bytes": 0}
+                done[str(b)] = dict(_EMPTY_BUCKET)
         with open(manifest_path, "w") as f:
             json.dump({"buckets": done, "n_buckets": n_buckets}, f)
 
@@ -604,27 +615,13 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     if os.path.exists(mpath):
         with open(mpath) as f:
             manifest = json.load(f)
-        metrics = (
-            rewritten.groupBy("bucket")
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum("df_part").alias("postings"),
-                F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
-            )
-            .collect()
-        )
         manifest["buckets"] = {
-            str(int(m["bucket"])): {
-                "rows": m["rows"], "postings": m["postings"], "bytes": m["bytes"]
-            }
-            for m in metrics
+            str(m.pop("bucket")): m for m in _bucket_metrics(rewritten)
         }
         # a bucket whose postings all died still counts as completed,
         # or the resume check would see an incomplete manifest
         for bkt in range(meta.get("n_buckets") or 0):
-            manifest["buckets"].setdefault(
-                str(bkt), {"rows": 0, "postings": 0, "bytes": 0}
-            )
+            manifest["buckets"].setdefault(str(bkt), dict(_EMPTY_BUCKET))
         with open(mpath, "w") as f:
             json.dump(manifest, f)
 
@@ -911,15 +908,7 @@ def append_to_index(
         if delta.doc_stats is not None
         else None
     )
-    metrics = (
-        merged.groupBy("bucket")
-        .agg(
-            F.count("*").alias("rows"),
-            F.sum("df_part").alias("postings"),
-            F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
-        )
-        .collect()
-    )
+    metrics = _bucket_metrics(merged)
     delta_pb.unpersist(blocking=False)
     docs.unpersist(blocking=False)
 
@@ -946,9 +935,7 @@ def append_to_index(
     with open(mpath) as f:
         manifest = json.load(f)
     for m in metrics:
-        manifest["buckets"][str(int(m["bucket"]))] = {
-            "rows": m["rows"], "postings": m["postings"], "bytes": m["bytes"],
-        }
+        manifest["buckets"][str(m.pop("bucket"))] = m
     manifest.setdefault("appends", []).append(fingerprint)
     with open(mpath, "w") as f:
         json.dump(manifest, f)

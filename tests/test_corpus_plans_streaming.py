@@ -165,10 +165,23 @@ def test_job_scripts_end_to_end(tmp_path):
     assert r1[-1]["n_docs"] == 400
     r2 = run(f"{root}/scripts/build_index_job.py", "--generate", "400",
              "--output", out, "--n-buckets", "2", "--range-bits", "57", "--append")
-    # same 400 generated docs again → same hash ids → postings double up
-    # per doc; n_docs grows (append trusts the caller on id disjointness)
+    # same 400 generated docs again → same hash ids → the retried append
+    # short-circuits (fingerprint replay guard): nothing double-counts
     assert r2[-1]["appended"] is True
+    assert r2[-1]["n_docs"] == 400
     r3 = run(f"{root}/scripts/query_index_job.py", "--index", out,
              "--query", "def class", "--prune", "--k", "3")
     assert len(r3[0]["topk"]) == 3
     assert r3[1]["n_queries"] == 1
+    # maintenance job: delete the top doc, then compact — it must be
+    # gone from results and n_docs must shrink
+    victim = r3[0]["topk"][0][0]
+    ids_file = str(tmp_path / "del.txt")
+    with open(ids_file, "w") as f:
+        f.write(f"{victim}\n")
+    r4 = run(f"{root}/scripts/maintain_index_job.py", "--index", out,
+             "--delete-ids-file", ids_file, "--compact")
+    assert r4[-1]["compacted"] is True and r4[-1]["n_docs"] == 399
+    r5 = run(f"{root}/scripts/query_index_job.py", "--index", out,
+             "--query", "def class", "--prune", "--k", "3")
+    assert victim not in [t[0] for t in r5[0]["topk"]]
