@@ -897,18 +897,29 @@ def append_to_index(
         F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf")
     )
     old_dict = spark.read.parquet(os.path.join(path, "dictionary"))
-    new_dict = (
+    new_dict_plan = (
         old_dict.unionByName(delta_dict)
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .localCheckpoint(eager=True)
     )
-    delta_stats = (
-        delta.doc_stats.localCheckpoint(eager=True)
-        if delta.doc_stats is not None
-        else None
-    )
-    metrics = _bucket_metrics(merged)
+    # the three remaining materializations read different cached inputs
+    # (delta_pb, docs, the merged checkpoint) and are independent —
+    # run them as concurrent actions instead of three sequential jobs
+    # (append is ~10 driver-sequential jobs; at delta scale the job
+    # floor, not per-file work, dominates wall time)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_dict = ex.submit(lambda: new_dict_plan.localCheckpoint(eager=True))
+        f_stats = (
+            ex.submit(lambda: delta.doc_stats.localCheckpoint(eager=True))
+            if delta.doc_stats is not None
+            else None
+        )
+        f_metrics = ex.submit(_bucket_metrics, merged)
+        new_dict = f_dict.result()
+        delta_stats = f_stats.result() if f_stats is not None else None
+        metrics = f_metrics.result()
     delta_pb.unpersist(blocking=False)
     docs.unpersist(blocking=False)
 
