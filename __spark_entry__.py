@@ -323,7 +323,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return term_list_post(
             _index(spark, sf),
-            _docs(spark, sf).filter("doc_id % 7 = 0").select("doc_id"),
+            _docs(spark, sf).filter("doc_id < 7").select("doc_id"),
         )
 
     q["term_list_post"] = _term_list_post
@@ -849,7 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "term_list_sampled_det": f"WITH tok AS ({_TOK}) "
         "SELECT DISTINCT term FROM tok WHERE doc_id % 3 = 0",
         "term_list_post": f"WITH tok AS ({_TOK}) "
-        "SELECT DISTINCT term FROM tok WHERE doc_id % 7 = 0",
+        "SELECT DISTINCT term FROM tok WHERE doc_id < 7",
         "term_list_numeric": "SELECT DISTINCT n_chars::VARCHAR AS term FROM documents",
         "dedup_exact": "SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)",
