@@ -649,15 +649,23 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_byte_stats"] = _multimodal_stats
 
     # -- generic OLAP parity (scan→filter→agg→sort pipeline) -----------------
+    # revenue sums in DECIMAL: price/discount are 2-dp values, so the
+    # decimal cast, product, and sum are all EXACT and association-order
+    # free — a float sum differs between engines in the last ulp, which
+    # a 6-dp round can surface at scale
     q["lineitem_pricing_summary"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/lineitem.parquet")
         .filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                6,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("cnt"),
         )
     )
@@ -872,12 +880,15 @@ def oracle_sql() -> dict[str, str]:
         "1::BIGINT AS nonempty_ok",
         "streaming_date_facet": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY 1",
-        # documents text is ASCII (verified) → byte values = code points
+        # documents text is ASCII (verified) → byte values = code points;
+        # mean as floor(sum*10^6/n) — exact integer arithmetic on both
+        # engines (a rounded float mean hits half-even-vs-half-up
+        # boundaries whenever n_bytes is a power of two)
         "multimodal_byte_stats": "SELECT doc_id AS media_id, "
         "octet_length(encode(text))::BIGINT AS n_bytes, "
-        "round(list_aggregate(list_transform(regexp_extract_all(text, '[\\s\\S]'), "
-        "c -> unicode(c)), 'sum') / octet_length(encode(text)), 6) AS mean_val "
-        "FROM documents",
+        "(list_aggregate(list_transform(regexp_extract_all(text, '[\\s\\S]'), "
+        "c -> unicode(c)), 'sum')::BIGINT * 1000000) // octet_length(encode(text)) "
+        "AS mean_millionths FROM documents",
         "streaming_distinct_facet": f"SELECT {ev_day} AS time_ms, "
         "count(user_id) AS cnt, count(DISTINCT user_id) AS distinct_cnt "
         "FROM events GROUP BY 1",
@@ -930,7 +941,9 @@ FROM scored QUALIFY rank <= 10
         "quality_features": _QUALITY,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue, count(*) AS cnt "
+        "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6)::DOUBLE "
+        "AS revenue, count(*) AS cnt "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2",
         # the synthetic corpus is a pure function of (SEED=42, row
         # index) — the 300-row lang histogram is a golden constant

@@ -71,12 +71,15 @@ def resize_fake(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def media_byte_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """Opaque-binary ingest stats: (id, n_bytes, mean_val) per payload.
+    """Opaque-binary ingest stats: (id, n_bytes, mean_millionths) per
+    payload.
 
     The canonical binary-column pattern: bytes ride parquet/Arrow
     untouched, one numpy pass per batch, no Python object per byte.
-    ``mean_val`` is the mean byte value rounded to 6 decimals (the
-    cross-engine comparable the driver gate checks)."""
+    ``mean_millionths`` = floor(Σbytes × 10^6 / n_bytes) — pure integer
+    arithmetic, so the cross-engine comparable is EXACT (a rounded
+    float mean hits .xxxxxx5 boundaries whenever n_bytes is a power of
+    two, where Python half-even and DuckDB half-up disagree)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,11 +88,11 @@ def media_byte_stats(
                 buf = np.frombuffer(bytes(p), dtype=np.uint8)
                 ids.append(i)
                 nb.append(buf.size)
-                mv.append(round(float(buf.sum()) / max(buf.size, 1), 6))
-            yield pd.DataFrame({id_col: ids, "n_bytes": nb, "mean_val": mv})
+                mv.append(int(buf.sum()) * 1_000_000 // max(buf.size, 1))
+            yield pd.DataFrame({id_col: ids, "n_bytes": nb, "mean_millionths": mv})
 
     return df.select(id_col, payload_col).mapInPandas(
-        fn, f"{id_col} long, n_bytes long, mean_val double"
+        fn, f"{id_col} long, n_bytes long, mean_millionths long"
     )
 
 

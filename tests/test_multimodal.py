@@ -66,13 +66,16 @@ def test_fake_decode_resize_stats(spark):
     assert set(small.reshape(-1).tolist()) <= set(px.reshape(-1).tolist())
 
     media = synth_media(spark, 40)
-    got = {r["media_id"]: (r["n_bytes"], r["mean_val"]) for r in media_byte_stats(media).collect()}
+    got = {
+        r["media_id"]: (r["n_bytes"], r["mean_millionths"])
+        for r in media_byte_stats(media).collect()
+    }
     rows = media.select("media_id", "payload").collect()
     for r in rows:
         buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
-        assert got[r["media_id"]] == (buf.size, round(float(buf.sum()) / buf.size, 6))
+        assert got[r["media_id"]] == (buf.size, int(buf.sum()) * 1_000_000 // buf.size)
     got2 = {
-        r["media_id"]: (r["n_bytes"], r["mean_val"])
+        r["media_id"]: (r["n_bytes"], r["mean_millionths"])
         for r in media_byte_stats(media.repartition(7)).collect()
     }
     assert got == got2
