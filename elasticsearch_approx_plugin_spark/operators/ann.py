@@ -175,12 +175,22 @@ def lsh_cosine_topk(
     n_planes: int = 10,
     n_tables: int = 4,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table hyperplane LSH proposes
     candidates (a vector matches if it shares the query's bucket in ANY
     table — recall = 1-(1-p^planes)^tables), exact cosine re-ranks.
     One corpus projection (numpy matmul per Arrow batch), broadcast
-    probe join, no full-scan matmul."""
+    probe join, no full-scan matmul.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket in each table (the classic
+    multiprobe-LSH trick): each flipped bit is the bucket the query
+    would land in had one hyperplane voted the other way — the most
+    likely homes of near neighbors that straddle a plane. Cost lives
+    entirely on the QUERY side: the broadcast probe table grows
+    ×(1+n_planes); the corpus projection, shuffle, and storage are
+    unchanged, so at 100 TB this is free recall."""
     dim = len(queries[0][1])
     spark = emb.sparkSession
 
@@ -192,13 +202,17 @@ def lsh_cosine_topk(
     planes = _lsh_planes(dim, n_planes, n_tables, seed)
     qmat = np.asarray([v for _, v in queries], dtype=np.float64)
     qbuckets = _bucket_ids(qmat, planes)  # (nq, tables)
+    probe_rows = []
+    for qi, (qid, vec) in enumerate(queries):
+        fvec = [float(x) for x in vec]
+        for t in range(n_tables):
+            base = int(qbuckets[qi, t])
+            buckets = {base}
+            if multiprobe >= 1:
+                buckets |= {base ^ (1 << b) for b in range(n_planes)}
+            probe_rows += [(qid, fvec, t, bkt) for bkt in sorted(buckets)]
     probes = spark.createDataFrame(
-        [
-            (qid, [float(x) for x in vec], int(t), int(qbuckets[qi, t]))
-            for qi, (qid, vec) in enumerate(queries)
-            for t in range(n_tables)
-        ],
-        "query_id long, qvec array<double>, tbl long, bucket long",
+        probe_rows, "query_id long, qvec array<double>, tbl long, bucket long"
     )
 
     cand = (

@@ -51,48 +51,93 @@ def _cap_partition_distinct(cap: int):
     return fn
 
 
-def _post_mode_terms(batches):
-    """Vectorized (one flat varint pass per partition) 'does this term
-    have a visible matching doc' test over posting rows joined with
-    their range's sorted match-id array (``__match``). docIDs are
-    globally unique, so the partition's match ids union into one flat
-    membership array regardless of range."""
+POST_BROADCAST_MAX_IDS = 5_000_000  # ~40 MB of int64 — same order as bm25's tomb_b
+
+
+def _post_broadcast_terms(match_b, range_bits: int):
+    """Vectorized 'does this term have a visible matching doc' test:
+    the global sorted match-id array ships ONCE per executor as a
+    broadcast (docIDs are globally unique, so one flat membership array
+    serves every range). Rows whose range holds no match are dropped
+    before any varint is touched."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from .postings import _decode_doc_rows
+
+        match = match_b.value
+        mranges = np.unique(match >> range_bits)
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        if tbl.num_rows == 0:
+            return
+        rid = tbl["range_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = np.flatnonzero(np.isin(rid.astype(np.int64), mranges))
+        if rows.size == 0:
+            return
+        sub = tbl.take(pa.array(rows))
+        df_row = sub["df_part"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        abs_doc = _decode_doc_rows(sub["doc_ids"], df_row)
+        hit = np.isin(abs_doc.view(np.int64), match).astype(np.int64)
+        row_starts = np.zeros(df_row.size, dtype=np.int64)
+        np.cumsum(df_row[:-1], out=row_starts[1:])
+        idx = np.flatnonzero(np.add.reduceat(hit, row_starts) > 0)
+        if idx.size:
+            yield from sub.select(["term"]).take(pa.array(idx)).to_batches()
+
+    return fn
+
+
+def _post_cogroup_terms(post_pdf, match_pdf):
+    """Cogroup fallback for match sets too large to broadcast: each
+    task receives one range's posting rows AND that range's match ids
+    exactly once (never replicated per posting row — the blow-up
+    ADVICE r3 flagged in the collect_list join formulation)."""
     import numpy as np
     import pyarrow as pa
 
     from .postings import _decode_doc_rows
 
-    chunks = list(batches)
-    if not chunks:
-        return
-    tbl = pa.Table.from_batches(chunks)
-    if tbl.num_rows == 0:
-        return
-    lists = tbl["__match"].combine_chunks()
-    match = np.unique(lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
-    df_row = tbl["df_part"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-    abs_doc = _decode_doc_rows(tbl["doc_ids"], df_row)
+    if not len(post_pdf) or not len(match_pdf):
+        return pd.DataFrame({"term": pd.Series([], dtype=object)})
+    match = np.sort(match_pdf["doc_id"].to_numpy(dtype=np.int64))
+    df_row = post_pdf["df_part"].to_numpy(dtype=np.int64)
+    abs_doc = _decode_doc_rows(pa.array(post_pdf["doc_ids"], type=pa.binary()), df_row)
     hit = np.isin(abs_doc.view(np.int64), match).astype(np.int64)
     row_starts = np.zeros(df_row.size, dtype=np.int64)
     np.cumsum(df_row[:-1], out=row_starts[1:])
     idx = np.flatnonzero(np.add.reduceat(hit, row_starts) > 0)
-    if idx.size:
-        yield from tbl.select(["term"]).take(pa.array(idx)).to_batches()
+    return pd.DataFrame({"term": post_pdf["term"].iloc[idx].to_numpy()})
 
 
-def term_list_post(index, matching_ids: DataFrame | None = None) -> DataFrame:
+def term_list_post(
+    index,
+    matching_ids: DataFrame | None = None,
+    broadcast_max_ids: int = POST_BROADCAST_MAX_IDS,
+) -> DataFrame:
     """Post mode over a persisted/in-memory index: the term dictionary,
     restricted to terms with ≥1 visible matching doc.
 
     Matches ``TermListFacetExecutor.java:158-199`` (/root/reference):
     the reference iterates the dictionary and keeps a term iff its
-    docSet intersects the query's matching docs. Spark shape: the
-    matching doc ids (minus tombstones — deleted docs are not visible)
-    group into per-range sorted arrays, inner-join the posting rows of
-    those ranges only (ranges without matches are never read), and one
-    vectorized Arrow pass per partition keeps the rows whose decoded
-    docIDs hit the match set. ``matching_ids=None`` means an unfiltered
-    corpus — every dictionary term qualifies, no posting is decoded.
+    docSet intersects the query's matching docs. Spark shape, two
+    regimes (ADVICE r3 — the per-range ``collect_list`` join replicated
+    the whole match array onto EVERY posting row of the range,
+    shuffle/Arrow volume posting_rows × matches_per_range):
+
+    - match set ≤ ``broadcast_max_ids``: ship it ONCE per executor as a
+      sorted-array broadcast (bm25's ``tomb_b`` pattern) and run one
+      zero-shuffle Arrow membership pass over the postings scan;
+    - larger: cogroup postings with match ids by ``range_id`` — one
+      shuffle, each task holds one range's ids exactly once, memory
+      bounded at any selectivity.
+
+    ``matching_ids=None`` means an unfiltered corpus — every dictionary
+    term qualifies, no posting is decoded.
     """
     if matching_ids is None:
         return index.dictionary.select(
@@ -101,14 +146,33 @@ def term_list_post(index, matching_ids: DataFrame | None = None) -> DataFrame:
     m = matching_ids.select(F.col(matching_ids.columns[0]).alias("doc_id"))
     if index.tombstones is not None:
         m = m.join(index.tombstones.select("doc_id"), "doc_id", "left_anti")
-    per_range = (
-        m.withColumn("range_id", F.shiftright("doc_id", index.range_bits))
-        .groupBy("range_id")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("__match"))
-    )
+
+    import numpy as np
+
+    spark = index.postings.sparkSession
+    head = m.limit(broadcast_max_ids + 1).collect()
+    if len(head) <= broadcast_max_ids:
+        ids = np.unique(np.fromiter((r[0] for r in head), dtype=np.int64, count=len(head)))
+        if ids.size == 0:
+            return spark.createDataFrame([], "term string")
+        match_b = spark.sparkContext.broadcast(ids)
+        pb = index.postings
+        mranges = np.unique(ids >> index.range_bits)
+        if mranges.size <= 1024:
+            # few matched ranges → a pushed-down IN filter prunes the
+            # parquet scan to them (ranges without matches never read)
+            pb = pb.filter(F.col("range_id").isin([int(r) for r in mranges]))
+        return (
+            pb.mapInArrow(
+                _post_broadcast_terms(match_b, index.range_bits), "term string"
+            )
+            .distinct()
+        )
+    per_range = m.withColumn("range_id", F.shiftright("doc_id", index.range_bits))
     return (
-        index.postings.join(per_range, "range_id")
-        .mapInArrow(_post_mode_terms, "term string")
+        index.postings.groupBy("range_id")
+        .cogroup(per_range.groupBy("range_id"))
+        .applyInPandas(_post_cogroup_terms, "term string")
         .distinct()
     )
 

@@ -714,10 +714,13 @@ def test_lifecycle_fuzz_crud_sequence(spark, tmp_path):
     append_to_index(spark, path, toks.filter(F.col("doc_id").isin(list(revive))))
     tombs -= revive
 
-    # op 3: replay op 1 exactly — a recognized replay (fingerprint
-    # short-circuit) is a TRUE no-op: it does not even resurrect
-    # tombstoned members of the delta
+    # op 3: replay op 1 exactly — a recognized replay short-circuits
+    # the merge (no postings work), but tombstone RESURRECTION still
+    # runs first (ADVICE r3): re-ingesting a batch after deleting some
+    # of its docs brings them back — the same delete+add semantics as a
+    # fresh overlap append, fingerprint match or not
     append_to_index(spark, path, toks.filter(F.col("doc_id").isin(list(batch))))
+    tombs -= batch  # tombstoned members of the replayed delta resurrect
     # ...then an overlapping append: only the 40 genuinely-new docs
     # index, but any TOMBSTONED id in the delta resurrects (delete+add)
     mix = set(list(sorted(batch))[:50]) | set(sorted(unused)[:40])

@@ -139,5 +139,20 @@ def test_term_list_post_visible_docs_only(spark):
         .collect()
     }
     assert got2 == exp2
+
+    # cogroup fallback (match set "too large" to broadcast — forced via
+    # broadcast_max_ids=0) returns the identical term set: the scale
+    # path and the broadcast fast path are result-equal (ADVICE r4)
+    got3 = {
+        r["term"]
+        for r in term_list_post(idx, matching, broadcast_max_ids=0).collect()
+    }
+    assert got3 == exp2  # tombstones still set from the block above
+    idx.tombstones = None
+    got4 = {
+        r["term"]
+        for r in term_list_post(idx, matching, broadcast_max_ids=0).collect()
+    }
+    assert got4 == exp
     idx.postings.unpersist()
     toks.unpersist()
