@@ -171,6 +171,34 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["date_facet_sliced"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "day", slice_field="event_type"
     ).select(_ms(), "term", F.col("count").alias("cnt"))
+
+    # nested scope (DateFacetBuilder.java:283-296): events re-shaped
+    # into parent docs with an array<struct> child scope; the facet
+    # runs over explode(path) with the facetFilter matching in the
+    # ROOT scope (a matching parent contributes ALL its nested
+    # objects) — provably identical to the flat facet over the
+    # un-nested table filtered by the same root predicate
+    def _nested_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.plans.facet_query import DateFacetQuery
+
+        parents = (
+            _events(spark, sf)
+            .groupBy("user_id")
+            .agg(F.collect_list(F.struct("ts", "event_type")).alias("actions"))
+        )
+        return (
+            DateFacetQuery(
+                "actions.ts",
+                "day",
+                slice_field="actions.event_type",
+                nested="actions",
+                filter="user_id % 3 = 0",
+            )
+            .run(parents)
+            .select(_ms(), "term", F.col("count").alias("cnt"))
+        )
+
+    q["date_facet_nested"] = _nested_facet
     q["date_facet_distinct_exact"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "day", distinct_field="user_id", distinct_method="exact"
     ).select(_ms(), F.col("count").alias("cnt"), F.col("distinct_count").alias("distinct_cnt"))
@@ -703,13 +731,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup_lsh",   # covered by embedding_cosine_dedup_lsh_check
         "ann_lsh_topk",                 # covered by ann_lsh_check
         "ann_ivf_topk",                 # covered by ann_ivf_check
+        "date_facet_distinct_hybrid_threshold",  # 3 rounds green; twin of _hybrid/_tipped
         "date_facet_24h",               # 3 rounds green; grammar twin of hour/day gates
         "date_facet_week",              # 3 rounds green
         "date_facet_postzone",          # 3 rounds green
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 61, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 62, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -848,6 +877,10 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_sliced": f"SELECT {ev_day} AS time_ms, event_type AS term, "
         "count(*) AS cnt FROM events GROUP BY 1, 2",
+        # nested scope == flat facet over the un-nested rows whose
+        # PARENT (user) matches the root filter
+        "date_facet_nested": f"SELECT {ev_day} AS time_ms, event_type AS term, "
+        "count(*) AS cnt FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2",
         "date_facet_distinct_exact": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "
         "count(DISTINCT user_id) AS distinct_cnt FROM events GROUP BY 1",
         "date_facet_distinct_hybrid": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "

@@ -17,11 +17,45 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.date_facet import date_facet
 from ..operators.term_list import term_list
 from ..operators.bm25 import bm25_topk
 from ..operators.postings import InvertedIndex
+
+
+def _explode_nested(
+    df: DataFrame, path: str, names: dict[str, str | None]
+) -> tuple[DataFrame, dict[str, str | None]]:
+    """Lower a nested-scope facet onto a flat DataFrame.
+
+    ES runs a nested facet over the block-joined child docs under
+    ``path``; the Spark analog of that child table is
+    ``explode(path)`` — a Generate node, pipelined into the scan with
+    no shuffle of its own. Fields under the path (dot notation, as in
+    the reference's nested queries) are projected to flat columns so
+    the downstream facet operators (which look fields up by top-level
+    name) work unchanged; root-scope fields that the facet also uses
+    are carried through, replicated per nested object exactly as
+    block-join scoping replicates the parent match.
+    """
+    pfx = path + "."
+    used = [v for v in names.values() if v]
+    nested_used = sorted({v for v in used if v.startswith(pfx)})
+    root_used = sorted({v for v in used if not v.startswith(pfx)})
+    if not nested_used:
+        raise ValueError(f"nested={path!r} but no faceted field lies under that path")
+    # deeper paths keep working ("a.b.c" under nested="a" → struct
+    # access b.c inside each element); flat alias avoids dotted names
+    leaf = {v: v[len(pfx):].replace(".", "__") for v in nested_used}
+    clash = set(leaf.values()) & set(root_used)
+    if clash:
+        raise ValueError(f"nested field alias(es) {sorted(clash)} collide with root fields")
+    ex = df.select(*root_used, F.explode(path).alias("__nested__")).select(
+        *root_used, *[F.col(f"__nested__.{v[len(pfx):]}").alias(a) for v, a in leaf.items()]
+    )
+    return ex, {k: (leaf.get(v, v) if v else None) for k, v in names.items()}
 
 
 @dataclass(frozen=True)
@@ -46,6 +80,16 @@ class DateFacetQuery:
     # ``run(df, global_df=...)`` and the facet runs over THAT, with
     # ``filter`` (the facetFilter) still applied.
     global_facet: bool = False
+    # ``nested`` analog (DateFacetBuilder.java:283-296): the facet
+    # executes over the nested objects under this path — "a match (root
+    # object) will then cause all the nested objects matching the path
+    # to be computed into the facet". The Lucene block-join scope maps
+    # to an array<struct> column here: filter roots, then ``explode``
+    # the path (a Generate node — pipelined into the scan, no extra
+    # shuffle; partial aggregation still happens map-side after it).
+    # Faceted fields use ES dot notation ("path.field"); root-level
+    # fields remain addressable by their plain name.
+    nested: str | None = None
 
     def run(self, df: DataFrame, global_df: DataFrame | None = None) -> DataFrame:
         if self.global_facet:
@@ -53,14 +97,24 @@ class DateFacetQuery:
                 raise ValueError("global_facet=True requires global_df (the unfiltered table)")
             df = global_df
         if self.filter is not None:
+            # facetFilter applies in the ROOT scope (the match decides
+            # which documents contribute their nested objects)
             df = df.filter(self.filter)
+        names = {
+            "key_field": self.key_field,
+            "value_field": self.value_field,
+            "distinct_field": self.distinct_field,
+            "slice_field": self.slice_field,
+        }
+        if self.nested is not None:
+            df, names = _explode_nested(df, self.nested, names)
         return date_facet(
             df,
-            self.key_field,
+            names["key_field"],
             self.interval,
-            value_field=self.value_field,
-            distinct_field=self.distinct_field,
-            slice_field=self.slice_field,
+            value_field=names["value_field"],
+            distinct_field=names["distinct_field"],
+            slice_field=names["slice_field"],
             exact_threshold=self.exact_threshold,
             distinct_method=self.distinct_method,
             pre_zone=self.pre_zone,

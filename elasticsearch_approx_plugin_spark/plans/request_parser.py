@@ -100,8 +100,30 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
         raise ValueError("only match_all queries replay directly; pre-filter the DataFrame")
     out: dict[str, DateFacetQuery | TermListQuery] = {}
     for name, spec in request.get("facets", {}).items():
+        # facet-level siblings the reference's builders emit next to
+        # the facet body: ``nested`` (DateFacetBuilder.java:283-296)
+        # and ``global`` (DateFacetBuilder.java:261-269) are honored;
+        # ``facet_filter`` is the caller's DataFrame filter here (set
+        # ``.filter`` on the returned spec), so raise rather than
+        # silently dropping it.
+        known = {"date_facet", "term_list", "mode", "nested", "global"}
+        unknown = set(spec) - known
+        if unknown:
+            raise ValueError(
+                f"facet {name!r}: unsupported facet-level key(s) {sorted(unknown)}"
+                " (facet_filter → pre-filter the DataFrame / spec.filter)"
+            )
         if "date_facet" in spec:
-            out[name] = parse_date_facet(spec["date_facet"])
+            q = parse_date_facet(spec["date_facet"])
+            if spec.get("nested") is not None or spec.get("global"):
+                import dataclasses
+
+                q = dataclasses.replace(
+                    q,
+                    nested=spec.get("nested"),
+                    global_facet=bool(spec.get("global", False)),
+                )
+            out[name] = q
         elif "term_list" in spec:
             out[name] = parse_term_list(spec["term_list"], spec.get("mode", "collector"))
         else:

@@ -1,7 +1,7 @@
 """Local stand-in for the driver's correctness gate: runs every
 ``queries()`` entry at sf0.01 next to its ``oracle_sql()`` twin in
 DuckDB and compares row count, column names, and an order-insensitive
-value multiset. Usage: python scripts/verify_entry.py [sf_dir]"""
+value multiset. Usage: python scripts/verify_entry.py [sf_dir] [name_substring]"""
 
 from __future__ import annotations
 
@@ -56,6 +56,10 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        qs = {k: v for k, v in qs.items() if sys.argv[2] in k}
+        if not qs:
+            sys.exit(f"no query matches {sys.argv[2]!r}")
     failures = []
     for name, fn in qs.items():
         t0 = time.time()

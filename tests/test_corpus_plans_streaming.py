@@ -123,6 +123,101 @@ def test_with_sha_enforced_read_path_guard(spark):
         ).collect()
 
 
+@pytest.fixture(scope="module")
+def nested_events(spark, sf_dir_med):
+    """events re-shaped as parent docs with an array<struct> child
+    scope — the flat-DataFrame analog of an ES nested mapping. One
+    parent per user; ``actions`` holds that user's events."""
+    events = spark.read.parquet(f"{sf_dir_med}/events.parquet")
+    parents = events.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_type", F.struct("value").alias("meta")))
+        ).alias("actions")
+    )
+    return events, parents
+
+
+def test_nested_facet_equals_flat(nested_events):
+    """DateFacetBuilder.nested (DateFacetBuilder.java:283-296): a facet
+    over the nested scope counts every nested object whose parent
+    matches — with match_all, identical to the flat facet over the
+    un-nested table."""
+    events, parents = nested_events
+    nested = DateFacetQuery(
+        "actions.ts", "day", slice_field="actions.event_type", nested="actions"
+    ).run(parents)
+    flat = DateFacetQuery("ts", "day", slice_field="event_type").run(events)
+    key = lambda rows: {(r["time"], r["term"]): r["count"] for r in rows}
+    assert key(nested.collect()) == key(flat.collect())
+
+
+def test_nested_facet_root_filter_scope(nested_events):
+    """facetFilter matches in the ROOT scope: a matching parent brings
+    ALL its nested objects into the facet (the reference's block-join
+    semantics), not just the nested rows that would match."""
+    events, parents = nested_events
+    nested = DateFacetQuery(
+        "actions.ts",
+        "day",
+        distinct_field="actions.event_type",
+        distinct_method="exact",
+        nested="actions",
+        filter="user_id % 5 = 0",
+    ).run(parents)
+    flat = DateFacetQuery("ts", "day", distinct_field="event_type", distinct_method="exact").run(
+        events.filter("user_id % 5 = 0")
+    )
+    key = lambda rows: {r["time"]: (r["count"], r["distinct_count"]) for r in rows}
+    assert key(nested.collect()) == key(flat.collect())
+
+
+def test_nested_deep_path_and_errors(nested_events):
+    events, parents = nested_events
+    # dot path below the first level ("actions.meta.value")
+    deep = DateFacetQuery(
+        "actions.ts", "day", value_field="actions.meta.value", nested="actions"
+    ).run(parents)
+    flat = DateFacetQuery("ts", "day", value_field="value").run(events)
+    key = lambda rows: {r["time"]: r["count"] for r in rows}
+    assert key(deep.collect()) == key(flat.collect())
+    # no faceted field under the path → error, not a silent flat facet
+    with pytest.raises(ValueError, match="no faceted field"):
+        DateFacetQuery("ts", "day", nested="actions").run(parents)
+
+
+def test_parse_request_nested_and_global_siblings():
+    """The builder emits ``nested`` / ``global`` as facet-level
+    siblings of the ``date_facet`` body; ``facet_filter`` maps to the
+    caller's DataFrame filter and must not be silently dropped."""
+    from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
+
+    specs = parse_request(
+        {
+            "facets": {
+                "histo": {
+                    "date_facet": {"field": "actions.ts", "interval": "day"},
+                    "nested": "actions",
+                    "global": True,
+                }
+            }
+        }
+    )
+    q = specs["histo"]
+    assert q.nested == "actions" and q.global_facet is True
+    assert q.key_field == "actions.ts"
+    with pytest.raises(ValueError, match="facet_filter"):
+        parse_request(
+            {
+                "facets": {
+                    "h": {
+                        "date_facet": {"field": "ts", "interval": "day"},
+                        "facet_filter": {"term": {"x": 1}},
+                    }
+                }
+            }
+        )
+
+
 def test_global_facet_ignores_enclosing_filter(spark, sf_dir_med):
     """DateFacetQuery(global_facet=True) facets the UNFILTERED table
     (the reference's `global` option, DateFacetBuilder.java:261-269),
