@@ -134,13 +134,32 @@ class TermListQuery:
     sample: float = 1.0
     mode: str = "collector"
     filter: Column | str | None = None
+    # inherited from ES 0.90's base FacetBuilder (nested/global exist
+    # on every facet builder, TermListFacetBuilder.java:8): same
+    # lowering as DateFacetQuery — explode the array<struct> scope /
+    # run over the caller-supplied unfiltered table.
+    nested: str | None = None
+    global_facet: bool = False
 
-    def run(self, df: DataFrame, dictionary: DataFrame | None = None) -> DataFrame:
+    def run(
+        self,
+        df: DataFrame,
+        dictionary: DataFrame | None = None,
+        global_df: DataFrame | None = None,
+    ) -> DataFrame:
+        if self.global_facet:
+            if global_df is None:
+                raise ValueError("global_facet=True requires global_df (the unfiltered table)")
+            df = global_df
         if self.filter is not None:
             df = df.filter(self.filter)
+        key_field = self.key_field
+        if self.nested is not None:
+            df, names = _explode_nested(df, self.nested, {"key_field": key_field})
+            key_field = names["key_field"]
         return term_list(
             df,
-            self.key_field,
+            key_field,
             max_per_partition=self.max_per_shard,
             sample=self.sample,
             mode=self.mode,

@@ -125,7 +125,16 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
                 )
             out[name] = q
         elif "term_list" in spec:
-            out[name] = parse_term_list(spec["term_list"], spec.get("mode", "collector"))
+            tq = parse_term_list(spec["term_list"], spec.get("mode", "collector"))
+            if spec.get("nested") is not None or spec.get("global"):
+                import dataclasses
+
+                tq = dataclasses.replace(
+                    tq,
+                    nested=spec.get("nested"),
+                    global_facet=bool(spec.get("global", False)),
+                )
+            out[name] = tq
         else:
             raise ValueError(f"facet {name!r}: unknown facet type {set(spec)}")
     return out

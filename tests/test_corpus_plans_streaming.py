@@ -185,6 +185,17 @@ def test_nested_deep_path_and_errors(nested_events):
         DateFacetQuery("ts", "day", nested="actions").run(parents)
 
 
+def test_nested_term_list(nested_events):
+    """nested/global come from ES 0.90's base FacetBuilder, so the
+    term-list facet inherits them: a nested term list over the child
+    scope equals the flat term list over the un-nested table."""
+    events, parents = nested_events
+    nested = TermListQuery("actions.event_type", nested="actions").run(parents)
+    flat = TermListQuery("event_type").run(events)
+    terms = lambda rows: {r["term"] for r in rows}
+    assert terms(nested.collect()) == terms(flat.collect())
+
+
 def test_parse_request_nested_and_global_siblings():
     """The builder emits ``nested`` / ``global`` as facet-level
     siblings of the ``date_facet`` body; ``facet_filter`` maps to the
