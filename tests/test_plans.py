@@ -48,6 +48,26 @@ def test_simhash_single_aggregate_exchange(spark, sf_dir):
     assert "InPandas" not in plan
 
 
+def test_nested_facet_plan_shape(spark, sf_dir):
+    """Nested scope must lower to a Generate (explode) pipelined into
+    the facet's partial aggregation — no extra shuffle beyond the
+    parent-build groupBy, the facet agg, and the chronological sort."""
+    from elasticsearch_approx_plugin_spark.plans.facet_query import DateFacetQuery
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parents = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("actions")
+    )
+    plan = _simple(
+        DateFacetQuery(
+            "actions.ts", "day", slice_field="actions.event_type", nested="actions"
+        ).run(parents)
+    )
+    assert "Generate" in plan  # the explode node
+    assert plan.count("Exchange") == 3  # parent agg + facet agg + orderBy range
+    assert "InPandas" not in plan and "Python" not in plan
+
+
 def test_cosine_topk_window_group_limit(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = [
