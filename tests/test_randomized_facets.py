@@ -169,3 +169,79 @@ def test_random_facet_matches_oracle(
             ).fetchall()
         )
     assert got == exp
+
+
+NESTED_CASES = [
+    ("day", "+05:30", None, None, False, "counting"),
+    ("6h", "+05:30", None, None, False, "sliced"),
+    ("day", "-08:00", "+1h", None, True, "distinct"),
+    ("week", None, None, None, False, "hybrid"),
+]
+
+
+@pytest.mark.parametrize("interval,zone,pre_off,post_off,adjust,mode", NESTED_CASES)
+def test_random_nested_facet_matches_oracle(
+    rand_events, interval, zone, pre_off, post_off, adjust, mode
+):
+    """The nested lowering composed with the tz/offset grammar: wrap
+    the random events into parent docs (one per user, array<struct>
+    children), facet through DateFacetQuery(nested=...), and check the
+    SAME DuckDB oracle the flat sweep uses. ``distinct`` modes keep
+    ``user_id`` at ROOT scope, exercising root-field carry-through
+    (each parent's id replicated onto its exploded children)."""
+    from elasticsearch_approx_plugin_spark.plans.facet_query import DateFacetQuery
+
+    df, path = rand_events
+    parents = df.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "etype")).alias("acts")
+    )
+    off = lambda s: 0 if s is None else (
+        (-1 if s.startswith("-") else 1)
+        * int(s.lstrip("+-")[:-1])
+        * _UNIT_MS[s[-1]]
+    )
+    bucket = _oracle_bucket(interval, zone, off(pre_off), off(post_off), adjust)
+    src = (
+        f"(SELECT to_timestamp(epoch_ms(ts) / 1000.0) AS dt, user_id, etype "
+        f"FROM read_parquet('{path}'))"
+    )
+    kwargs = dict(
+        pre_zone=zone,
+        pre_offset=pre_off,
+        post_offset=post_off,
+        pre_zone_adjust_large_interval=adjust,
+        nested="acts",
+    )
+    t_ms = F.unix_millis(F.col("time").cast("timestamp")).alias("t")
+
+    if mode == "counting":
+        q = DateFacetQuery("acts.ts", interval, **kwargs)
+        got = {(r["t"], r["count"]) for r in q.run(parents).select(t_ms, "count").collect()}
+        exp = set(duckdb.sql(f"SELECT {bucket} AS t, count(*) FROM {src} GROUP BY 1").fetchall())
+    elif mode == "sliced":
+        q = DateFacetQuery("acts.ts", interval, slice_field="acts.etype", **kwargs)
+        got = {
+            (r["t"], r["term"], r["count"])
+            for r in q.run(parents).select(t_ms, "term", "count").collect()
+        }
+        exp = set(
+            duckdb.sql(f"SELECT {bucket} AS t, etype, count(*) FROM {src} GROUP BY 1, 2").fetchall()
+        )
+    else:  # distinct over the ROOT-scope user_id
+        method = "exact" if mode == "distinct" else "hybrid"
+        extra = {} if mode == "distinct" else {"exact_threshold": -1}
+        q = DateFacetQuery(
+            "acts.ts", interval, distinct_field="user_id",
+            distinct_method=method, **extra, **kwargs,
+        )
+        got = {
+            (r["t"], r["count"], r["distinct_count"])
+            for r in q.run(parents).select(t_ms, "count", "distinct_count").collect()
+        }
+        exp = set(
+            duckdb.sql(
+                f"SELECT {bucket} AS t, count(user_id), count(DISTINCT user_id) "
+                f"FROM {src} GROUP BY 1"
+            ).fetchall()
+        )
+    assert got == exp
