@@ -107,6 +107,26 @@ def main():
             print(f"ok    {name}: {len(a)} rows match {time.time()-t0:.1f}s")
 
     print()
+    # full sweeps (no name filter) are the standing pre-flight
+    # (README "Release checklist") — log them so each round's sweep is
+    # on the record next to the driver's own PROGRESS entries
+    if len(sys.argv) <= 2:
+        rec = {
+            "event": "verify_sweep",
+            "ts": time.time(),
+            "sf_dir": sf_dir,
+            "gates": len(qs),
+            "oracle_gates": sum(1 for k in qs if k in oracles),
+            "failures": [f[0] for f in failures],
+        }
+        try:
+            with open(os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "PROGRESS.jsonl"), "a") as fh:
+                import json
+
+                fh.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
     if failures:
         print(f"{len(failures)} FAILURES:", [f[0] for f in failures])
         sys.exit(1)
