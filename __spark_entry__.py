@@ -361,8 +361,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.5
     )
+    # full table, not a doc_id slice: the planted near-dup pairs sit at
+    # sf-dependent ids, and a slice that misses them all returns 0 rows
+    # (tripped the sf0.1 sweep's rows-only check in round 4)
     q["minhash_lsh_dedup"] = lambda spark, sf: minhash_lsh_dedup(
-        _tokens(spark, sf).filter("doc_id < 300"), "tokens", "doc_id", threshold=0.5
+        _tokens(spark, sf), "tokens", "doc_id", threshold=0.5
     )
     q["simhash"] = lambda spark, sf: simhash(_tokens(spark, sf), "tokens", "doc_id")
 
