@@ -662,6 +662,38 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_distinct_facet"] = _streaming_distinct
 
+    # continuous-ingest exact dedup: admitted digest set across
+    # micro-batches == batch DISTINCT md5(text) (first-arrival rep, so
+    # the gate projects the digest — representative-independent)
+    def _streaming_dedup(spark, sf):
+        from elasticsearch_approx_plugin_spark.streaming.dedup import (
+            streaming_dedup_exact,
+        )
+
+        schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+        )
+        name = "stream_dedup_gate"
+        for active in spark.streams.active:
+            if active.name == name:
+                active.stop()
+        query = (
+            streaming_dedup_exact(stream, "text")
+            .select("digest")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(name).select("digest")
+
+    q["streaming_dedup_exact"] = _streaming_dedup
+
     # end-to-end keep-list through the DISTRIBUTED components path
     # (driver_max_pairs=0 forces it): survivors of the near-dup graph
     def _keep_list(spark, sf):
@@ -727,6 +759,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows+schema+hash comparison.  All 61 gates still run under
     # scripts/verify_entry.py locally.
     tail = [
+        "streaming_dedup_exact",        # round-4 addition; oracle-checked in sweeps
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -741,7 +774,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 62, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 63, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -951,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "1::BIGINT AS nonempty_ok",
         "streaming_date_facet": f"SELECT {ev_day} AS time_ms, count(*) AS cnt "
         "FROM events GROUP BY 1",
+        "streaming_dedup_exact": "SELECT DISTINCT md5(text) AS digest FROM documents",
         # documents text is ASCII (verified) → byte values = code points;
         # mean as floor(sum*10^6/n) — exact integer arithmetic on both
         # engines (a rounded float mean hits half-even-vs-half-up

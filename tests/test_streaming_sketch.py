@@ -54,3 +54,81 @@ def test_streaming_distinct_matches_batch(spark, sf_dir, tmp_path):
         g_cnt, g_dc, tipped = final[t]
         assert (g_cnt, g_dc) == (cnt, dc)
         assert not tipped  # threshold=-1 → exact forever
+
+
+def test_streaming_dedup_exact_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-ingest exact dedup: across micro-batches (including
+    duplicates split BETWEEN batches) exactly one row per distinct
+    digest survives — the same admitted set as batch dedup_exact over
+    the concatenation."""
+    from elasticsearch_approx_plugin_spark.streaming.dedup import (
+        streaming_dedup_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "dsrc")
+    # batch b re-ships half of batch a's docs (cross-batch duplicates)
+    # plus its own half, so dedup must remember digests across triggers
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{src}/a.parquet")
+    docs.filter("doc_id % 2 = 1").union(
+        docs.filter("doc_id % 4 = 0")
+    ).coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        streaming_dedup_exact(stream, "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT digest FROM dedup_out").collect()
+    digests = [r["digest"] for r in got]
+    assert len(digests) == len(set(digests))  # exactly-once per digest
+    exp = {r["digest"] for r in docs.select(F.md5("text").alias("digest")).distinct().collect()}
+    assert set(digests) == exp
+
+
+def test_streaming_dedup_windowed_state_bound(spark, sf_dir, tmp_path):
+    """The watermarked variant plans a DropDuplicatesWithinWatermark
+    (bounded state) and still admits each digest once when duplicates
+    arrive inside the horizon."""
+    from elasticsearch_approx_plugin_spark.streaming.dedup import (
+        streaming_dedup_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "wsrc")
+    docs.coalesce(1).write.parquet(f"{src}/a.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_dedup_exact(stream, "event_type", event_time="ts", watermark="10 days")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT digest FROM dedup_wm_out").collect()
+    digests = [r["digest"] for r in rows]
+    assert len(digests) == len(set(digests))
+    n_types = docs.select("event_type").distinct().count()
+    assert len(digests) == n_types
