@@ -432,6 +432,8 @@ def rrf_fuse(
     the heavy lifting stays inside the upstream rankers. ``sources``
     reports how many rankers returned the doc (consensus signal).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking (query, id, rank)")
     parts = [
         r.select(F.col(query_col), F.col(id_col), F.col("rank")) for r in rankings
     ]

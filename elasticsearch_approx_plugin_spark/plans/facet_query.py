@@ -49,6 +49,11 @@ def _explode_nested(
     # deeper paths keep working ("a.b.c" under nested="a" → struct
     # access b.c inside each element); flat alias avoids dotted names
     leaf = {v: v[len(pfx):].replace(".", "__") for v in nested_used}
+    if len(set(leaf.values())) != len(leaf):
+        raise ValueError(
+            f"nested fields {sorted(leaf)} flatten to colliding aliases "
+            f"{sorted(leaf.values())}"
+        )
     clash = set(leaf.values()) & set(root_used)
     if clash:
         raise ValueError(f"nested field alias(es) {sorted(clash)} collide with root fields")

@@ -114,27 +114,22 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
                 " (facet_filter → pre-filter the DataFrame / spec.filter)"
             )
         if "date_facet" in spec:
+            if "mode" in spec:
+                # mode only exists on the term-list facet; dropping it
+                # here would be the silent-ignore this check forbids
+                raise ValueError(f"facet {name!r}: 'mode' is a term_list key")
             q = parse_date_facet(spec["date_facet"])
-            if spec.get("nested") is not None or spec.get("global"):
-                import dataclasses
-
-                q = dataclasses.replace(
-                    q,
-                    nested=spec.get("nested"),
-                    global_facet=bool(spec.get("global", False)),
-                )
-            out[name] = q
         elif "term_list" in spec:
-            tq = parse_term_list(spec["term_list"], spec.get("mode", "collector"))
-            if spec.get("nested") is not None or spec.get("global"):
-                import dataclasses
-
-                tq = dataclasses.replace(
-                    tq,
-                    nested=spec.get("nested"),
-                    global_facet=bool(spec.get("global", False)),
-                )
-            out[name] = tq
+            q = parse_term_list(spec["term_list"], spec.get("mode", "collector"))
         else:
             raise ValueError(f"facet {name!r}: unknown facet type {set(spec)}")
+        if spec.get("nested") is not None or spec.get("global"):
+            import dataclasses
+
+            q = dataclasses.replace(
+                q,
+                nested=spec.get("nested"),
+                global_facet=bool(spec.get("global", False)),
+            )
+        out[name] = q
     return out

@@ -130,7 +130,8 @@ def main():
     if failures:
         print(f"{len(failures)} FAILURES:", [f[0] for f in failures])
         sys.exit(1)
-    print(f"all {len(qs)} queries verified ({len(oracles)} with SQL oracles)")
+    n_oracle = sum(1 for k in qs if k in oracles)
+    print(f"all {len(qs)} queries verified ({n_oracle} with SQL oracles)")
 
 
 if __name__ == "__main__":

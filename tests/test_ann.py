@@ -261,20 +261,25 @@ def test_rrf_fuse_semantics(spark):
 
 
 def test_rrf_fuse_hybrid_end_to_end(spark, emb, queries, sf_dir):
-    """Fusing BM25 over documents with cosine over the paired
-    embeddings (shared 0..n id space): every fused row's doc must
-    appear in at least one input top-k, consensus docs rank first
-    within equal-count groups, and k caps the output per query."""
+    """Fusing a REAL BM25 ranking over documents with cosine over the
+    paired embeddings (shared 0..n id space) — the column contract
+    between score_queries and rrf_fuse is exercised, not assumed:
+    every fused row's doc appears in at least one input top-k, sources
+    is honest, and rank re-numbers densely per query."""
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
     from elasticsearch_approx_plugin_spark.operators.ann import cosine_topk, rrf_fuse
+    from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
+    from elasticsearch_approx_plugin_spark.operators.postings import build_index
 
-    ann = cosine_topk(emb, queries, 10).withColumnRenamed("vec_id", "doc_id")
-    # a second, independent ranking: cosine with fewer candidates
-    ann2 = cosine_topk(emb.filter("vec_id % 2 = 0"), queries, 10).withColumnRenamed(
-        "vec_id", "doc_id"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_index(docs.select("doc_id", tokenize_ws("text").alias("tokens")))
+    bm = score_queries(
+        idx, [(0, ["hash", "join"]), (1, ["table"]), (2, ["scan", "merge"])], 10
     )
-    fused = rrf_fuse([ann, ann2], k=10).collect()
-    in_a = {(r["query_id"], r["doc_id"]) for r in ann.collect()}
-    in_b = {(r["query_id"], r["doc_id"]) for r in ann2.collect()}
+    ann = cosine_topk(emb, queries, 10).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fuse([bm, ann], k=10).collect()
+    in_a = {(r["query_id"], r["doc_id"]) for r in bm.collect()}
+    in_b = {(r["query_id"], r["doc_id"]) for r in ann.collect()}
     per_q = {}
     for r in fused:
         assert (r["query_id"], r["doc_id"]) in (in_a | in_b)
