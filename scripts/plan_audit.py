@@ -158,6 +158,56 @@ def main() -> None:
         must=["ReadSchema: struct<doc_id:bigint,text:string>"],
     )
 
+    # 7. nested facet: Generate (explode) pipelined into the partial
+    # aggregation — the nested scope must not add a shuffle of its own
+    # (total: parent-build agg + facet agg + orderBy range = 3)
+    from elasticsearch_approx_plugin_spark.plans.facet_query import DateFacetQuery
+
+    parents = events.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("actions")
+    )
+    nested = DateFacetQuery(
+        "actions.ts", "day", slice_field="actions.event_type", nested="actions"
+    ).run(parents)
+    nplan = formatted(nested)
+    n_ex = nplan.count(") Exchange")
+    if n_ex > 3:
+        failures.append(f"nested facet: {n_ex} exchanges (expected <= 3)")
+    sections.append(
+        (
+            "date_facet_nested",
+            nplan,
+            [
+                f"{'OK ' if 'Generate' in nplan else 'MISSING '} `Generate` (explode node)",
+                f"exchanges = {n_ex} (parent build + facet agg + orderBy range; ≤ 3 OK)",
+            ],
+        )
+    )
+    if "Generate" not in nplan:
+        failures.append("nested facet: no Generate node")
+
+    # 8. RRF fusion: inputs are q×k rows, so the fusion itself must be
+    # join-free (union + one agg + window) — no products anywhere
+    from elasticsearch_approx_plugin_spark.operators.ann import cosine_topk, rrf_fuse
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvecs = [
+        (r["vec_id"], list(map(float, r["embedding"])))
+        for r in emb.filter("vec_id < 3").orderBy("vec_id").collect()
+    ]
+    fused = rrf_fuse(
+        [
+            score_queries(idx, [(0, ["hash", "join"]), (1, ["table"])], 10),
+            cosine_topk(emb, qvecs, 10).withColumnRenamed("vec_id", "doc_id"),
+        ]
+    )
+    audit(
+        "hybrid_rrf_topk",
+        fused,
+        must=["Union", "HashAggregate"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "
