@@ -246,6 +246,21 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     t, _ = _timed(lambda: cosine_topk(emb, qvecs, 10).count())
     timings["ann_cosine_topk"] = round(t, 3)
 
+    # hybrid retrieval: BM25 + cosine fused by reciprocal rank — the
+    # fusion's own cost is q×k rows, so this times the two rankers
+    # plus a negligible union/agg/window tail
+    from elasticsearch_approx_plugin_spark.operators.ann import rrf_fuse
+
+    t, _ = _timed(
+        lambda: rrf_fuse(
+            [
+                score_queries(index, qs[:10], 10),
+                cosine_topk(emb, qvecs, 10).withColumnRenamed("vec_id", "doc_id"),
+            ]
+        ).count()
+    )
+    timings["hybrid_rrf_topk_10q"] = round(t, 3)
+
     t, _ = _timed(lambda: add_quality_features(docs, "text").count())
     timings["quality_features"] = round(t, 3)
 

@@ -415,10 +415,12 @@ def rrf_fuse(
     c: int = 60,
     query_col: str = "query_id",
     id_col: str = "doc_id",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion:
-    ``score(d) = Σ_r 1/(c + rank_r(d))`` over the input rankings
-    (Cormack/Clarke/Büttcher, SIGIR'09), then top-k per query.
+    ``score(d) = Σ_r w_r/(c + rank_r(d))`` over the input rankings
+    (Cormack/Clarke/Büttcher, SIGIR'09; ``weights`` default to 1.0 —
+    the plain RRF formula), then top-k per query.
 
     Rank-only fusion is the robust way to combine incomparable score
     scales (BM25 log-idf vs cosine in [-1, 1]) without per-collection
@@ -434,14 +436,18 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking (query, id, rank)")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError(f"{len(weights)} weights for {len(rankings)} rankings")
+    ws = weights or [1.0] * len(rankings)
     parts = [
-        r.select(F.col(query_col), F.col(id_col), F.col("rank")) for r in rankings
+        r.select(F.col(query_col), F.col(id_col), F.col("rank"), F.lit(float(w)).alias("__w"))
+        for r, w in zip(rankings, ws)
     ]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
     scored = u.groupBy(query_col, id_col).agg(
-        F.round(F.sum(1.0 / (F.col("rank") + F.lit(c))), SCORE_DECIMALS).alias(
+        F.round(F.sum(F.col("__w") / (F.col("rank") + F.lit(c))), SCORE_DECIMALS).alias(
             "rrf_score"
         ),
         F.count("*").alias("sources"),

@@ -258,6 +258,16 @@ def test_rrf_fuse_semantics(spark):
     d = spark.createDataFrame([(1, 19, 1)], "query_id long, doc_id long, rank long")
     tied = {r["doc_id"]: r["rank"] for r in rrf_fuse([c, d], k=2).collect()}
     assert tied == {19: 1, 20: 2}
+    # per-ranker weights: weighting d's ranker 3x overturns the id tie
+    wtd = {r["doc_id"]: r for r in rrf_fuse([c, d], k=2, weights=[1.0, 3.0]).collect()}
+    assert wtd[19]["rank"] == 1 and wtd[19]["rrf_score"] == round(3.0 / 61, 6)
+    assert wtd[20]["rank"] == 2 and wtd[20]["rrf_score"] == round(1.0 / 61, 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weights"):
+        rrf_fuse([c, d], weights=[1.0])
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
 
 
 def test_rrf_fuse_hybrid_end_to_end(spark, emb, queries, sf_dir):
