@@ -535,24 +535,44 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_check"] = _ann_lsh_check
 
     def _ann_ivf_check(spark, sf):
+        import shutil
+        import tempfile
+
         from elasticsearch_approx_plugin_spark.operators.ann import (
             ivf_build,
             ivf_cosine_topk,
+            read_ivf,
+            write_ivf,
         )
 
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qs = _queries_vecs(spark, sf)
         # recall@10 bar 0.8 (VERDICT r3 #3; was 0.5): nprobe=5 of 8
         # lists measures 0.97 (sf0.01) / 1.00 (sf0.1) offline.
+        # VERDICT r4 #7: the search runs against the PERSISTED index
+        # (write_ivf → read_ivf round-trip), so the list_id-partitioned
+        # at-rest layout — the thing production would query, with its
+        # partition pruning — is what this gate verifies.
         assigned, cents = ivf_build(emb, n_lists=8, n_iters=2)
-        assigned = assigned.persist()
-        assigned_ok = assigned.count() == emb.count()
-        exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qs, 10).collect()}
-        got = {
-            (r["query_id"], r["vec_id"])
-            for r in ivf_cosine_topk(assigned, cents, qs, 10, nprobe=5).collect()
-        }
-        assigned.unpersist(blocking=False)
+        tmp = tempfile.mkdtemp(prefix="gate_ivf_")
+        try:
+            write_ivf(assigned, cents, tmp)
+            stored, cents2 = read_ivf(spark, tmp)
+            stored = stored.persist()
+            assigned_ok = (
+                stored.count() == emb.count()
+                and bool((cents2 == cents).all())
+            )
+            exact = {
+                (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qs, 10).collect()
+            }
+            got = {
+                (r["query_id"], r["vec_id"])
+                for r in ivf_cosine_topk(stored, cents2, qs, 10, nprobe=5).collect()
+            }
+            stored.unpersist(blocking=False)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         recall = len(got & exact) / max(len(exact), 1)
         return spark.createDataFrame(
             [(int(assigned_ok), int(recall >= 0.8))], "assigned_ok long, recall_ok long"
@@ -609,19 +629,27 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- streaming: the SAME facet semantics through Structured
     # Streaming (parquet source, availableNow, complete-mode memory
     # sink) hash-checked against the batch oracle
+    def _stream_table(spark, sf, table):
+        # ADVICE r4: the unconditional parent-dir + pathGlobFilter form
+        # silently reads zero rows when the dataset is a Spark-written
+        # DIRECTORY of part files. FileStreamSource rejects a plain file
+        # path ("Option 'basePath' must be a directory"), so branch on
+        # the dataset's shape: stream a directory dataset directly, and
+        # only a single-file dataset via parent + glob.
+        import os as _os
+
+        path = f"{sf}/{table}.parquet"
+        reader = spark.readStream.schema(spark.read.parquet(path).schema)
+        if _os.path.isdir(path):
+            return reader.parquet(path)
+        return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf)
+
     def _streaming_facet(spark, sf):
         from elasticsearch_approx_plugin_spark.streaming.facets import (
             streaming_date_facet,
         )
 
-        schema = spark.read.parquet(f"{sf}/events.parquet").schema
-        # the events table is a single parquet file; FileStreamSource
-        # requires a directory → stream the parent with a glob filter
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-        )
+        stream = _stream_table(spark, sf, "events")
         out = streaming_date_facet(stream, "ts", "day")
         name = "stream_facet_gate"
         for active in spark.streams.active:
@@ -649,12 +677,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             streaming_distinct_facet,
         )
 
-        schema = spark.read.parquet(f"{sf}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-        )
+        stream = _stream_table(spark, sf, "events")
         out = streaming_distinct_facet(stream, "ts", "day", "user_id", exact_threshold=-1)
         name = "stream_distinct_gate"
         for active in spark.streams.active:
@@ -687,12 +710,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             streaming_dedup_exact,
         )
 
-        schema = spark.read.parquet(f"{sf}/documents.parquet").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf)
-        )
+        stream = _stream_table(spark, sf, "documents")
         name = "stream_dedup_gate"
         for active in spark.streams.active:
             if active.name == name:
@@ -776,7 +794,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows+schema+hash comparison.  All 64 gates still run under
     # scripts/verify_entry.py locally.
     tail = [
-        "streaming_dedup_exact",        # round-4 addition; oracle-checked in sweeps
+        # VERDICT r4 #3: streaming_dedup_exact moved INTO the window (it
+        # was the only operator with zero driver-verified rows and no
+        # _check twin); date_facet_quarter takes its tail slot — 4 rounds
+        # green, and the in-window _prezone/_prezone_large gates exercise
+        # the same large-interval zone grammar.
+        "date_facet_quarter",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check

@@ -433,6 +433,13 @@ def rrf_fuse(
     the union → groupBy → window pipeline is tiny at any corpus scale —
     the heavy lifting stays inside the upstream rankers. ``sources``
     reports how many rankers returned the doc (consensus signal).
+
+    Each input is deduplicated per (query, id) keeping its best (min)
+    rank before fusing: a ranking that repeats a doc would otherwise
+    double-count its reciprocal rank and inflate ``sources`` (the
+    packaged top-k operators emit unique rows, but the contract is now
+    enforced rather than assumed for external callers — ADVICE r4).
+    The dedup is a groupBy over q × k rows, negligible at any scale.
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking (query, id, rank)")
@@ -440,7 +447,9 @@ def rrf_fuse(
         raise ValueError(f"{len(weights)} weights for {len(rankings)} rankings")
     ws = weights or [1.0] * len(rankings)
     parts = [
-        r.select(F.col(query_col), F.col(id_col), F.col("rank"), F.lit(float(w)).alias("__w"))
+        r.groupBy(F.col(query_col), F.col(id_col))
+        .agg(F.min("rank").alias("rank"))
+        .withColumn("__w", F.lit(float(w)))
         for r, w in zip(rankings, ws)
     ]
     u = parts[0]

@@ -42,6 +42,20 @@ def _explode_nested(
     """
     pfx = path + "."
     used = [v for v in names.values() if v]
+    # fail here with a clear message rather than later with an opaque
+    # Catalyst AnalysisException (ADVICE r4): the nested path itself is
+    # an array<struct> column (not facetable), and a dotted field that
+    # isn't under the path has no flat analog after the explode
+    for v in used:
+        if v == path:
+            raise ValueError(
+                f"faceted field {v!r} IS the nested path — facet a field "
+                f"under it, e.g. {path + '.<field>'!r}"
+            )
+        if "." in v and not v.startswith(pfx):
+            raise ValueError(
+                f"dotted faceted field {v!r} lies outside nested path {path!r}"
+            )
     nested_used = sorted({v for v in used if v.startswith(pfx)})
     root_used = sorted({v for v in used if not v.startswith(pfx)})
     if not nested_used:

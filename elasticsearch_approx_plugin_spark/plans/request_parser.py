@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from typing import Any
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
 from .facet_query import DateFacetQuery, TermListQuery
 
 _DATE_ALIASES = {
@@ -88,6 +91,76 @@ def parse_term_list(clause: dict[str, Any], mode: str = "collector") -> TermList
     return TermListQuery(**kwargs)
 
 
+def lower_filter(clause: dict[str, Any]) -> Column:
+    """Lower an ES filter DSL clause to a Spark ``Column`` predicate.
+
+    Covers exactly the shapes the reference's own tests put in
+    ``facet_filter`` (``RandomizedApproxReadWriteTest.java:550-561``
+    numeric range from/to, ``CountingQueryResultChecker.java:158-164``
+    bool>range with includeUpper(false), ``SlicedQueryResultChecker.
+    java:55`` bool>exists, plus the ubiquitous term and match_all) —
+    anything else raises so nothing is silently dropped.
+
+    Null semantics follow ES: a filter never matches a document whose
+    field is missing, and ``must_not`` DOES match such documents (the
+    inner filter didn't), hence the ``coalesce(..., False)`` before
+    negation/disjunction.
+    """
+    if len(clause) != 1:
+        raise ValueError(f"filter clause must have exactly one key, got {sorted(clause)}")
+    (kind, body), = clause.items()
+    if kind == "match_all":
+        return F.lit(True)
+    if kind in ("range", "numeric_range"):
+        (fld, cond), = body.items()
+        ops = {
+            "from": lambda c, v: c >= v if cond.get("include_lower", True) else c > v,
+            "to": lambda c, v: c <= v if cond.get("include_upper", True) else c < v,
+            "gte": lambda c, v: c >= v,
+            "gt": lambda c, v: c > v,
+            "lte": lambda c, v: c <= v,
+            "lt": lambda c, v: c < v,
+        }
+        bounds = {k: v for k, v in cond.items() if k in ops}
+        if not bounds:
+            raise ValueError(f"range filter on {fld!r} has no bounds: {cond}")
+        unknown = set(cond) - set(ops) - {"include_lower", "include_upper"}
+        if unknown:
+            raise ValueError(f"range filter on {fld!r}: unsupported option(s) {sorted(unknown)}")
+        pred = F.lit(True)
+        for k, v in bounds.items():
+            pred = pred & ops[k](F.col(fld), F.lit(v))
+        return pred
+    if kind == "term":
+        (fld, val), = body.items()
+        return F.col(fld) == F.lit(val)
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "bool":
+        def aslist(x):
+            return x if isinstance(x, list) else [x]
+
+        unknown = set(body) - {"must", "must_not", "should"}
+        if unknown:
+            raise ValueError(f"bool filter: unsupported key(s) {sorted(unknown)}")
+        pred = F.lit(True)
+        for sub in aslist(body.get("must", [])):
+            pred = pred & lower_filter(sub)
+        for sub in aslist(body.get("must_not", [])):
+            pred = pred & ~F.coalesce(lower_filter(sub), F.lit(False))
+        shoulds = aslist(body.get("should", []))
+        if shoulds:
+            any_should = F.lit(False)
+            for sub in shoulds:
+                any_should = any_should | F.coalesce(lower_filter(sub), F.lit(False))
+            pred = pred & any_should
+        return pred
+    raise ValueError(
+        f"unsupported filter type {kind!r} (supported: range/numeric_range, "
+        "term, exists, bool, match_all — the shapes the reference's tests emit)"
+    )
+
+
 def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermListQuery]:
     """Full REQUEST body → {facet_name: query spec}.
 
@@ -101,17 +174,16 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
     out: dict[str, DateFacetQuery | TermListQuery] = {}
     for name, spec in request.get("facets", {}).items():
         # facet-level siblings the reference's builders emit next to
-        # the facet body: ``nested`` (DateFacetBuilder.java:283-296)
-        # and ``global`` (DateFacetBuilder.java:261-269) are honored;
-        # ``facet_filter`` is the caller's DataFrame filter here (set
-        # ``.filter`` on the returned spec), so raise rather than
-        # silently dropping it.
-        known = {"date_facet", "term_list", "mode", "nested", "global"}
+        # the facet body: ``nested`` (DateFacetBuilder.java:283-296),
+        # ``global`` (DateFacetBuilder.java:261-269) and
+        # ``facet_filter`` (DateFacetBuilder.java:267-273, lowered to
+        # a Spark predicate on ``spec.filter`` — VERDICT r4 #5) are
+        # honored; anything else raises rather than silently dropping.
+        known = {"date_facet", "term_list", "mode", "nested", "global", "facet_filter", "facetFilter"}
         unknown = set(spec) - known
         if unknown:
             raise ValueError(
                 f"facet {name!r}: unsupported facet-level key(s) {sorted(unknown)}"
-                " (facet_filter → pre-filter the DataFrame / spec.filter)"
             )
         if "date_facet" in spec:
             if "mode" in spec:
@@ -123,13 +195,15 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
             q = parse_term_list(spec["term_list"], spec.get("mode", "collector"))
         else:
             raise ValueError(f"facet {name!r}: unknown facet type {set(spec)}")
-        if spec.get("nested") is not None or spec.get("global"):
+        ffilter = spec.get("facet_filter", spec.get("facetFilter"))
+        if spec.get("nested") is not None or spec.get("global") or ffilter is not None:
             import dataclasses
 
             q = dataclasses.replace(
                 q,
                 nested=spec.get("nested"),
                 global_facet=bool(spec.get("global", False)),
+                filter=lower_filter(ffilter) if ffilter is not None else None,
             )
         out[name] = q
     return out

@@ -203,3 +203,56 @@ def test_parser_numeric_zone_and_aliases():
         )
     with pytest.raises(ValueError, match="match_all"):
         parse_request({"query": {"term": {"a": "b"}}, "facets": {}})
+
+
+def test_facet_filter_replay(spark):
+    """``facet_filter`` lowering (VERDICT r4 #5): the filter shapes the
+    reference's own tests emit — bool > range from/to includeUpper(false)
+    (``RandomizedApproxReadWriteTest.java:550-561``,
+    ``CountingQueryResultChecker.java:158-164``), term, bool > exists
+    (``SlicedQueryResultChecker.java:55``) — replay through
+    parse_request onto ``spec.filter`` with ES null semantics."""
+    import datetime as dt
+
+    base = dt.datetime(2015, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (base + dt.timedelta(hours=i), i * 10, None if i >= 8 else f"u{i % 3}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "datetime timestamp, val long, user string")
+
+    def run(ffilter):
+        (_, q), = parse_request(
+            {"facets": {"h": {"date_facet": {"key_field": "datetime",
+                                             "interval": "hour"},
+                              "facet_filter": ffilter}}}
+        ).items()
+        return q.run(df).collect()
+
+    # hour buckets hold exactly one row each, so the matched-doc set is
+    # just the bucket count
+    got = run({"bool": {
+        "must": {"range": {"val": {"from": 10, "to": 70, "include_upper": False}}},
+        "must_not": {"term": {"user": "u1"}},
+    }})
+    # val in [10,70) → i ∈ 1..6; drop user==u1 (i%3==1 → 1, 4) → 4 rows
+    assert len(got) == 4 and all(r["count"] == 1 for r in got)
+
+    # exists: docs missing the field never match
+    assert len(run({"exists": {"field": "user"}})) == 8
+    # must_not DOES match missing-field docs (ES filter semantics)
+    assert len(run({"bool": {"must_not": {"term": {"user": "u0"}}}})) == 7
+    # should = OR across subfilters
+    assert len(run({"bool": {"should": [{"term": {"user": "u0"}},
+                                        {"term": {"user": "u1"}}]}})) == 6
+    # numeric_range alias + open bound
+    assert len(run({"numeric_range": {"val": {"gte": 80}}})) == 2
+    assert len(run({"match_all": {}})) == 10
+
+    with pytest.raises(ValueError, match="unsupported filter type"):
+        run({"prefix": {"user": "u"}})
+    with pytest.raises(ValueError, match="no bounds"):
+        run({"range": {"val": {}}})
+    with pytest.raises(ValueError, match="unsupported facet-level key"):
+        parse_request({"facets": {"h": {"date_facet": {
+            "key_field": "datetime", "interval": "hour"}, "typo_key": 1}}})

@@ -64,7 +64,10 @@ def test_nested_facet_plan_shape(spark, sf_dir):
         ).run(parents)
     )
     assert "Generate" in plan  # the explode node
-    assert plan.count("Exchange") == 3  # parent agg + facet agg + orderBy range
+    # parent agg + facet agg + orderBy range; <= (matching
+    # scripts/plan_audit.py) so a Spark upgrade that coalesces an
+    # exchange away is an improvement, not a failure (ADVICE r4)
+    assert plan.count("Exchange") <= 3
     assert "InPandas" not in plan and "Python" not in plan
 
 
