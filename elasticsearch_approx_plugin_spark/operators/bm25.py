@@ -360,3 +360,28 @@ def score_queries(
 def bm25_topk(index: InvertedIndex, terms: Iterable[str], k: int = 10) -> DataFrame:
     """Single-query convenience wrapper."""
     return score_queries(index, [(0, list(terms))], k).drop("query_id")
+
+
+def warm_index(index: InvertedIndex, prune: bool = True) -> None:
+    """Warm the serving pipelines — the analog of ES index warmers
+    (registered queries that run whenever a searcher opens, so "the
+    first user query hits a warm index"; Lucene ``SearcherFactory``
+    warming is the same idea).
+
+    The first scoring batch on a fresh session otherwise pays one-time
+    costs no later batch pays: Catalyst analysis + whole-stage codegen
+    compile of the scoring pipeline and the Arrow/pandas worker spin-up
+    for its UDF shape (profiled at ~1.5-2 s on local[32] — ~80% of the
+    apparent "cold batch" overhead; the per-batch residual is just the
+    uncached-term dictionary collect, ~0.2 s). One 1-term probe per
+    pipeline shape (exhaustive and WAND) compiles both; probes use the
+    dictionary's first term, so they decode a single posting row per
+    range. No-op on an empty index.
+    """
+    probe = index.dictionary.select("term").limit(1).collect()
+    if not probe:
+        return
+    qs = [(0, [probe[0]["term"]])]
+    score_queries(index, qs, 1).count()
+    if prune:
+        score_queries(index, qs, 1, prune=True).count()

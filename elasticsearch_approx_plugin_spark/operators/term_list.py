@@ -41,10 +41,12 @@ def _cap_partition_distinct(cap: int):
         for pdf in batches:
             if len(seen) >= cap:
                 break
-            for t in pd.unique(pdf["term"]):
-                seen.add(t)
-                if len(seen) >= cap:
-                    break
+            # vectorized per batch (no per-term Python loop): first-seen
+            # order within the batch is preserved by pd.unique, so the
+            # cap cut is the same one the old loop made
+            uniq = pd.unique(pdf["term"])
+            fresh = uniq[~pd.Series(uniq).isin(seen).to_numpy()]
+            seen.update(fresh[: cap - len(seen)].tolist())
         if seen:
             yield pd.DataFrame({"term": sorted(seen)})
 

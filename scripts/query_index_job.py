@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from elasticsearch_approx_plugin_spark.session import get_spark
-from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
+from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries, warm_index
 from elasticsearch_approx_plugin_spark.operators.postings import read_index
 
 
@@ -40,6 +40,10 @@ def main() -> None:
 
     spark = get_spark(app_name="query_index_job")
     index = read_index(spark, args.index)
+    # ES-warmer analog: compile both scoring pipelines before the first
+    # user-facing batch (one-time ~1.5-2 s of codegen otherwise lands
+    # on the first query's latency)
+    warm_index(index)
     texts = list(args.query or [])
     if args.queries_file:
         with open(args.queries_file) as f:

@@ -98,6 +98,27 @@ def test_bm25_matches_oracle(index, sf_dir):
     assert got == exp
 
 
+def test_warm_index_changes_nothing(index, spark, sf_dir):
+    """warm_index (ES index-warmer analog) is pure warm-up: results
+    before/after are identical, and it no-ops on an empty index."""
+    from elasticsearch_approx_plugin_spark.operators.bm25 import warm_index
+
+    before = [tuple(r) for r in score_queries(index, QUERIES, K)
+              .orderBy("query_id", "rank").collect()]
+    warm_index(index)
+    after = [tuple(r) for r in score_queries(index, QUERIES, K)
+             .orderBy("query_id", "rank").collect()]
+    assert before == after
+    # empty-dictionary index (build_index refuses empty input, so model
+    # the post-compaction-everything-deleted shape directly)
+    import dataclasses
+
+    empty = dataclasses.replace(
+        index, dictionary=index.dictionary.limit(0), term_cache={}, tomb_cache=[]
+    )
+    warm_index(empty)  # must not raise
+
+
 def test_rank_identical_across_parallelism(docs, index):
     """North rule: same docIDs + scores regardless of partitioning
     (sandbox stand-in for N vs 4N executors)."""
