@@ -759,7 +759,14 @@ def write_bench_md(payload: dict) -> None:
         f"| {payload.get('scaling_cores_small')} | {payload.get('scaling_files_per_sec_small')} |",
         f"| {payload.get('scaling_cores_large')} | {payload.get('scaling_files_per_sec_large')} |",
         "",
-        f"**Scaling efficiency: {payload.get('scaling_efficiency')}** "
+        (
+            "> NOTE: this run skipped the scaling measurement; the scaling "
+            "numbers below are carried forward from the previous full run "
+            "(BENCH_PAYLOAD.json).\n"
+            if payload.get("scaling_carried_from_previous_run")
+            else ""
+        )
+        + f"**Scaling efficiency: {payload.get('scaling_efficiency')}** "
         f"(target ≥ 0.8 per BASELINE.json; 1.0 = perfectly linear; "
         f"drift-clean pair available: {payload.get('scaling_pair_valid')}). "
         f"Valid adjacent-pair efficiencies: {payload.get('scaling_pair_efficiencies')}; "
@@ -807,8 +814,22 @@ def main():
     # finding: the small-run denominator drifted 4.0k → 6.2k files/s
     # over a loaded day while the large run held still).
     scaling = {}
+    last = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PAYLOAD.json")
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         scaling = measure_scaling()
+    elif os.path.exists(last):
+        # suite-only iteration run: carry the last measured scaling
+        # numbers forward (clearly marked) instead of blanking the
+        # BENCH.md scaling section
+        with open(last) as f:
+            prev = json.load(f)
+        scaling = {
+            k: v
+            for k, v in prev.items()
+            if k.startswith(("scaling_", "mp_control"))
+        }
+        if scaling:
+            scaling["scaling_carried_from_previous_run"] = True
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     timings, extras = run_suite(spark, SF_DIR)
     spark.stop()
@@ -821,6 +842,8 @@ def main():
         **extras,
         **scaling,
     }
+    with open(last, "w") as f:
+        json.dump(payload, f)
     write_bench_md(payload)
     print(json.dumps(payload))
 
