@@ -196,10 +196,13 @@ def test_nested_term_list(nested_events):
     assert terms(nested.collect()) == terms(flat.collect())
 
 
-def test_parse_request_nested_and_global_siblings():
-    """The builder emits ``nested`` / ``global`` as facet-level
-    siblings of the ``date_facet`` body; ``facet_filter`` maps to the
-    caller's DataFrame filter and must not be silently dropped."""
+def test_parse_request_nested_and_global_siblings(spark):
+    """The builder emits ``nested`` / ``global`` / ``facet_filter`` as
+    facet-level siblings of the ``date_facet`` body; ``facet_filter``
+    is lowered onto ``spec.filter`` (round 5 — see
+    test_golden_replay.test_facet_filter_replay for semantics), and an
+    unsupported filter shape still raises rather than being dropped.
+    (Needs the ``spark`` fixture: lowering builds real ``Column``s.)"""
     from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
 
     specs = parse_request(
@@ -216,13 +219,24 @@ def test_parse_request_nested_and_global_siblings():
     q = specs["histo"]
     assert q.nested == "actions" and q.global_facet is True
     assert q.key_field == "actions.ts"
-    with pytest.raises(ValueError, match="facet_filter"):
+    specs = parse_request(
+        {
+            "facets": {
+                "h": {
+                    "date_facet": {"field": "ts", "interval": "day"},
+                    "facet_filter": {"term": {"x": 1}},
+                }
+            }
+        }
+    )
+    assert specs["h"].filter is not None  # lowered, not dropped
+    with pytest.raises(ValueError, match="unsupported filter type"):
         parse_request(
             {
                 "facets": {
                     "h": {
                         "date_facet": {"field": "ts", "interval": "day"},
-                        "facet_filter": {"term": {"x": 1}},
+                        "facet_filter": {"fuzzy": {"x": "y"}},
                     }
                 }
             }
