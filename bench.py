@@ -592,7 +592,7 @@ def make_decade_dir(spark, sf_dir: str, out_dir: str) -> None:
         events,
         lambda d, i: d.select(
             (F.col("event_id") + i * OFF).alias("event_id"),
-            (F.col("ts") + F.make_dt_interval(0, 0, F.lit(i), F.lit(0))).alias("ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {i} MINUTE")).alias("ts"),
             (F.col("user_id") + i * OFF).alias("user_id"),
             *[c for c in d.columns if c not in ("event_id", "ts", "user_id")],
         ),
@@ -614,6 +614,11 @@ def run_decade() -> None:
     import tempfile
 
     spark = get_spark(app_name="bench_decade", master=f"local[{CPUS}]")
+    # untimed warmup pass: the first suite in a session pays one-time
+    # Catalyst/codegen/Arrow spin-up (~seconds) — without this the
+    # sf0.1 column is cold while the 10x column is warm, and the
+    # fixed-size rows read nonsense ratios < 1
+    run_suite(spark, SF_DIR)
     t01, _ = run_suite(spark, SF_DIR)
     dec = tempfile.mkdtemp(prefix="bench_sf1_")
     try:
@@ -626,7 +631,10 @@ def run_decade() -> None:
         "# BENCH_DECADE — one measured decade of scale (round 5)",
         "",
         "Same suite, sf0.1 vs a deterministic 10× synthesis of its",
-        "tables (`make_decade_dir`). The fixed-size synthetic-corpus",
+        "tables (`make_decade_dir`). Both columns are measured warm —",
+        "an untimed full-suite pass precedes the timed sf0.1 pass, so",
+        "one-time session cost (codegen compile, Arrow worker spin-up)",
+        "contaminates neither column. The fixed-size synthetic-corpus",
         "rows (WAND, append regimes, corpus-derived queries) do not",
         "scale with sf and are expected ~flat. Linear-or-better =",
         "ratio ≤ 10 for sf-dependent queries.",
@@ -647,7 +655,9 @@ def write_bench_md(payload: dict) -> None:
     lines = [
         "# BENCH — measured numbers (local sandbox)",
         "",
-        f"sf dir: `{payload['sf']}`, large run `local[{payload.get('scaling_cores_large', CPUS)}]`.",
+        f"sf dir: `{payload['sf']}`; suite on `local[{CPUS}]`, scaling levels "
+        f"`local[{payload.get('scaling_cores_small', 2)}]` vs "
+        f"`local[{payload.get('scaling_cores_large', 8)}]` (cpuset-bound).",
         "",
         "| query | sec |",
         "|---|---|",
