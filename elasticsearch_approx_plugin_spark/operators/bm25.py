@@ -362,21 +362,36 @@ def bm25_topk(index: InvertedIndex, terms: Iterable[str], k: int = 10) -> DataFr
     return score_queries(index, [(0, list(terms))], k).drop("query_id")
 
 
-def warm_index(index: InvertedIndex, prune: bool = True) -> None:
-    """Warm the serving pipelines — the analog of ES index warmers
+def warm_index(
+    index: InvertedIndex, prune: bool = True, warm_terms: int | None = 200_000
+) -> None:
+    """Warm the serving state — the analog of ES index warmers
     (registered queries that run whenever a searcher opens, so "the
     first user query hits a warm index"; Lucene ``SearcherFactory``
     warming is the same idea).
 
-    The first scoring batch on a fresh session otherwise pays one-time
-    costs no later batch pays: Catalyst analysis + whole-stage codegen
-    compile of the scoring pipeline and the Arrow/pandas worker spin-up
-    for its UDF shape (profiled at ~1.5-2 s on local[32] — ~80% of the
-    apparent "cold batch" overhead; the per-batch residual is just the
-    uncached-term dictionary collect, ~0.2 s). One 1-term probe per
-    pipeline shape (exhaustive and WAND) compiles both; probes use the
-    dictionary's first term, so they decode a single posting row per
-    range. No-op on an empty index.
+    Two things get warm:
+
+    1. **Pipelines.** The first scoring batch on a fresh session
+       otherwise pays one-time costs no later batch pays: Catalyst
+       analysis + whole-stage codegen compile of the scoring pipeline
+       and the Arrow/pandas worker spin-up for its UDF shape (profiled
+       at ~1.5-2 s on local[32]). One 1-term probe per pipeline shape
+       (exhaustive and WAND) compiles both; probes use the
+       dictionary's first term, so they decode a single posting row
+       per range.
+    2. **Term cache** (``warm_terms``, default 200k entries ≈ tens of
+       MB driver memory; ``None``/0 disables). Lucene keeps the term
+       index memory-resident — looking up a term's df is an in-RAM
+       hash probe in any serving engine, never a per-query scan. The
+       per-index ``term_cache`` (term → (df, bucket)) is that analog;
+       without warming it, every serving batch whose terms are new
+       pays one dictionary-collect Spark job before its scoring job.
+       Bounded at scale: the top-``warm_terms`` terms by df (the Zipf
+       head serves most query traffic); a miss below the head falls
+       back to score_queries' one-job collect, exactly as before.
+
+    No-op on an empty index.
     """
     probe = index.dictionary.select("term").limit(1).collect()
     if not probe:
@@ -385,3 +400,19 @@ def warm_index(index: InvertedIndex, prune: bool = True) -> None:
     score_queries(index, qs, 1).count()
     if prune:
         score_queries(index, qs, 1, prune=True).count()
+    if warm_terms:
+        has_buckets = bool(index.n_buckets) and "bucket" in index.postings.columns
+        sel = [F.col("term"), F.col("df")]
+        if has_buckets:
+            sel.append(F.pmod(F.xxhash64("term"), F.lit(index.n_buckets)).alias("bkt"))
+        rows = (
+            index.dictionary.select(*sel)
+            .orderBy(F.desc("df"), "term")
+            .limit(warm_terms)
+            .collect()
+        )
+        for r in rows:
+            index.term_cache[r["term"]] = (
+                int(r["df"]),
+                int(r["bkt"]) if has_buckets else -1,
+            )

@@ -208,6 +208,40 @@ def main() -> None:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # 9. facet_filter replay (round 5): the ES filter DSL lowered by
+    # parse_request must reach the parquet scan as pushed filters —
+    # the range conjuncts push down (row-group pruning at 100 TB), and
+    # the whole replayed pipeline stays Python-free Catalyst.
+    from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
+
+    replay_request = {
+        "query": {"match_all": {}},
+        "facets": {
+            "histogram": {
+                "date_facet": {"key_field": "ts", "interval": "day"},
+                "facet_filter": {
+                    "bool": {
+                        "must": [
+                            {"range": {"value": {"from": 2.0, "to": 40.0,
+                                                 "include_upper": False}}}
+                        ],
+                        "must_not": [{"term": {"event_type": "error"}}],
+                    }
+                },
+            }
+        },
+    }
+    (_, replay_spec), = parse_request(replay_request).items()
+    audit(
+        "date_facet_filter_replay",
+        replay_spec.run(events),
+        must=[
+            "GreaterThanOrEqual(value,2.0)",
+            "LessThan(value,40.0)",
+        ],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "
