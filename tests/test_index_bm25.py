@@ -119,6 +119,29 @@ def test_warm_index_changes_nothing(index, spark, sf_dir):
     warm_index(empty)  # must not raise
 
 
+def test_warm_term_cache_matches_miss_path(index):
+    """Round 5: warm_index preloads the term cache (the Lucene
+    memory-resident term-index analog). A batch served ENTIRELY from
+    the warmed cache must equal one whose every term went through the
+    miss-path dictionary collect — df and bucket must agree exactly."""
+    from elasticsearch_approx_plugin_spark.operators.bm25 import warm_index
+
+    index.term_cache.clear()
+    cold = [tuple(r) for r in score_queries(index, QUERIES, K)
+            .orderBy("query_id", "rank").collect()]
+    miss_cache = dict(index.term_cache)
+    index.term_cache.clear()
+    warm_index(index)
+    # every queried term present in the corpus must be warmed with the
+    # same (df, bucket) the miss path computed
+    for t, v in miss_cache.items():
+        if v[0] > 0:
+            assert index.term_cache.get(t) == v, t
+    warm = [tuple(r) for r in score_queries(index, QUERIES, K)
+            .orderBy("query_id", "rank").collect()]
+    assert cold == warm
+
+
 def test_rank_identical_across_parallelism(docs, index):
     """North rule: same docIDs + scores regardless of partitioning
     (sandbox stand-in for N vs 4N executors)."""
