@@ -515,6 +515,35 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score",
     )
 
+    # round 5: composite C4/Gopher-style document FILTER (pass/fail +
+    # first-failing-rule reason) — thresholds chosen to discriminate on
+    # this corpus (token median 56, stopword ratio 0-0.09), so the gate
+    # exercises pass rows AND both active reject reasons
+    def _quality_filter(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+            quality_filter,
+        )
+
+        return quality_filter(
+            _docs(spark, sf), "text", "doc_id",
+            min_tokens=32, min_stopword_ratio=0.02,
+        )
+
+    q["quality_filter"] = _quality_filter
+
+    # round 5: deterministic hash split (train/val/test) — the
+    # assignment is a pure function of (doc_id, seed), so the DuckDB
+    # oracle recomputes the identical md5-bucket arithmetic
+    def _train_test_split(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.sampling import hash_split
+
+        return hash_split(
+            _docs(spark, sf), "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42,
+        ).select("doc_id", "split")
+
+    q["train_test_split"] = _train_test_split
+
     # -- semantic checks for the approximate operators -----------------------
     # Each approximate/no-oracle operator also ships a CHECK gate: the
     # operator runs for real, its semantic contract (subset of the
@@ -852,6 +881,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r1-r4), and the in-window _prezone_large gate keeps the
         # pre_zone grammar verified every round.
         "date_facet_prezone",
+        # round 5: quality_filter + train_test_split (new pipeline
+        # operators, full hash oracles) take in-window slots; displaced:
+        # lineitem_pricing_summary (plain Spark SQL showcase — it
+        # exercises Spark's own aggregation, not an operator of this
+        # engine, the lowest-information gate in the window) and
+        # date_facet_json_slice (3 rounds green r2-r4; the in-window
+        # date_facet_sliced + date_facet_array_key gates keep slicing
+        # and multi-valued decode verified every round).
+        "lineitem_pricing_summary",
+        "date_facet_json_slice",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -867,7 +906,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 65, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 67, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -984,6 +1023,46 @@ SELECT doc_id, n_tok AS n_tokens,
             + (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 4, 1.0)) * 0.3
             + least(round(n_stop / greatest(n_tok, 1), 6) * 5, 1.0) * 0.3, 6) AS quality_score
 FROM f
+"""
+
+
+_QUALITY_FILTER = """
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+             t -> list_contains(['the','and','of','to','in','is','that','it','for','on'], t))) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(n_stop / greatest(n_tok, 1), 6) AS stopword_ratio,
+         CASE WHEN n_tok > 0 THEN round((n_chars - n_tok + 1) / n_tok, 6) ELSE 0.0 END AS mean_word_len
+  FROM f
+)
+SELECT doc_id, reject_reason IS NULL AS passes, reject_reason FROM (
+  SELECT doc_id,
+         CASE WHEN n_tok < 32 THEN 'too_few_tokens'
+              WHEN n_tok > 100000 THEN 'too_many_tokens'
+              WHEN mean_word_len < 2.0 THEN 'mean_word_too_short'
+              WHEN mean_word_len > 12.0 THEN 'mean_word_too_long'
+              WHEN punct_ratio > 0.3 THEN 'too_much_punctuation'
+              WHEN stopword_ratio < 0.02 THEN 'too_few_stopwords'
+         END AS reject_reason
+  FROM r
+)
+"""
+
+_TRAIN_TEST_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT % 10000 AS b
+  FROM documents
+)
 """
 
 
@@ -1173,6 +1252,8 @@ FROM scored QUALIFY rank <= 10
         "FROM documents",
         "lang_id": _lang_sql(),
         "quality_features": _QUALITY,
+        "quality_filter": _QUALITY_FILTER,
+        "train_test_split": _TRAIN_TEST_SPLIT,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

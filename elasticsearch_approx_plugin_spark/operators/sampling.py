@@ -1,0 +1,78 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+A 100 TB dataset is split into train/val/test ONCE and the assignment
+must be reproducible forever after — independent of partitioning,
+cluster size, row order, or Spark version. ``df.randomSplit`` gives
+none of that (it samples per-partition with a plan-dependent seed
+stream), so the standard production shape is a *hash split*: a pure
+function of (stable id, seed) → bucket → split label. Zero shuffle,
+zero state — a projection that fuses into whatever scan precedes it —
+and any engine (here: DuckDB for the oracle gate) reproduces it from
+the same two inputs.
+
+The hash is the first 8 hex chars of ``md5(id || ':' || seed)`` read
+as an integer, mod ``BUCKETS`` — md5 because every engine computes the
+identical digest (Spark's ``xxhash64``/``hash`` are Spark-specific).
+md5 is cryptographically broken but statistically uniform, which is
+the only property a splitter needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # split resolution: 0.01% granularity
+
+
+def _hash_bucket(id_col: str, seed: int) -> Column:
+    """Uniform bucket in [0, BUCKETS) as a pure function of (id, seed);
+    identical arithmetic is expressible in ANSI SQL / DuckDB."""
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label, deterministically.
+
+    ``weights`` maps label → fraction (must sum to 1 within BUCKETS
+    resolution); labels claim contiguous bucket ranges in dict order,
+    so adding a new tail split never reassigns existing rows of the
+    earlier splits (the append-safe layout a long-lived corpus needs).
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    if abs(sum(weights.values()) - 1.0) > 1.0 / BUCKETS:
+        raise ValueError(f"weights must sum to 1, got {sum(weights.values())}")
+    bucket = _hash_bucket(id_col, seed)
+    expr = None
+    edge = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        edge += weights[label]
+        cond = bucket < int(round(edge * BUCKETS))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keeps a row iff its
+    bucket falls below ``fraction``. Unlike ``df.sample`` the kept set
+    is a pure function of (id, seed) — stable across partitioning and
+    re-runs, and a sample at fraction f is a SUBSET of the sample at
+    any f' > f (nested samples, the property scaling-law runs rely
+    on)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_hash_bucket(id_col, seed) < int(round(fraction * BUCKETS)))

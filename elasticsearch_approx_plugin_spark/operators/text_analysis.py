@@ -66,6 +66,62 @@ def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+GOPHER_DEFAULTS: dict[str, float] = {
+    # Gopher-rules-shaped bounds (Rae et al. 2021 §A1.1 use 50-100k
+    # words, mean word length 3-10, ≥2 stopwords; C4 drops short
+    # pages) — defaults here are mildly looser so they transfer to
+    # code-ish corpora; every bound is a keyword argument.
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_punct_ratio": 0.3,
+    "min_stopword_ratio": 0.0,
+}
+
+# fixed rule order = fixed reject_reason when several rules fail
+_QUALITY_RULES = (
+    ("too_few_tokens", lambda c, t: c["n_tokens"] < t["min_tokens"]),
+    ("too_many_tokens", lambda c, t: c["n_tokens"] > t["max_tokens"]),
+    ("mean_word_too_short", lambda c, t: c["mean_word_len"] < t["min_mean_word_len"]),
+    ("mean_word_too_long", lambda c, t: c["mean_word_len"] > t["max_mean_word_len"]),
+    ("too_much_punctuation", lambda c, t: c["punct_ratio"] > t["max_punct_ratio"]),
+    ("too_few_stopwords", lambda c, t: c["stopword_ratio"] < t["min_stopword_ratio"]),
+)
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **thresholds
+) -> DataFrame:
+    """Composite C4/Gopher-style document filter: (id, passes,
+    reject_reason) where ``reject_reason`` is the FIRST failing rule in
+    the fixed rule order (null iff the document passes).
+
+    Like everything in this module it is a single Catalyst projection
+    (no UDF, no shuffle) over the :func:`add_quality_features` columns
+    — the filter fuses into the scan, so at 100 TB it costs one pass
+    that prunes to the two columns it reads. Comparisons use the
+    features' 6-decimal rounding so the ANSI-SQL oracle reproduces
+    every boundary decision bit-for-bit.
+    """
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown threshold(s) {sorted(unknown)}; "
+                         f"valid: {sorted(GOPHER_DEFAULTS)}")
+    t = {**GOPHER_DEFAULTS, **thresholds}
+    feats = add_quality_features(df, text_col)
+    cols = {k: F.col(k) for k in
+            ("n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio")}
+    reason = F.lit(None).cast("string")
+    for name, rule in reversed(_QUALITY_RULES):
+        reason = F.when(rule(cols, t), F.lit(name)).otherwise(reason)
+    return feats.select(
+        id_col,
+        reason.isNull().alias("passes"),
+        reason.alias("reject_reason"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: argmax over per-language marker hits
     (ties → 'und' if zero hits, else lexicographically first language).

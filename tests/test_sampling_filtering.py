@@ -1,0 +1,114 @@
+"""Deterministic hash split / hash sample + composite quality filter.
+
+The properties that matter at 100 TB: assignments are pure functions
+of (id, seed) — invariant to partitioning and row order; samples nest;
+the whole thing is a Catalyst projection (no Python eval, no shuffle).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.operators.sampling import (
+    BUCKETS,
+    hash_sample,
+    hash_split,
+)
+from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+    GOPHER_DEFAULTS,
+    quality_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_partitioning_invariant(docs):
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs).select("doc_id", "split").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs.repartition(13)).select("doc_id", "split").collect()
+    }
+    assert a == b
+    assert {s for _, s in a} <= {"train", "val", "test"}
+
+
+def test_split_weights_respected(docs):
+    n = docs.count()
+    got = dict(
+        hash_split(docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split").count().collect()
+    )
+    assert sum(got.values()) == n  # total partition: every row gets exactly one label
+    assert abs(got["train"] / n - 0.8) < 0.1  # md5-uniform within sampling noise
+
+
+def test_split_append_safe_label_layout(docs):
+    """Adding a tail split must never reassign rows of earlier splits
+    (labels claim contiguous bucket ranges in dict order)."""
+    two = {r["doc_id"]: r["split"] for r in
+           hash_split(docs, weights={"train": 0.9, "val": 0.1}).collect()}
+    three = {r["doc_id"]: r["split"] for r in
+             hash_split(docs, weights={"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    for doc, label in three.items():
+        if label == "train":
+            assert two[doc] == "train"
+
+
+def test_split_validation():
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(None, weights={"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(None, weights={"a": 1.5, "b": -0.5})
+
+
+def test_sample_nested_and_deterministic(docs):
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, 0.5).select("doc_id").collect()}
+    again = {r["doc_id"] for r in
+             hash_sample(docs.repartition(7), 0.1).select("doc_id").collect()}
+    assert small <= big  # nested: f=0.1 sample is a subset of f=0.5
+    assert small == again  # pure function of (id, seed)
+    n = docs.count()
+    assert abs(len(big) / n - 0.5) < 0.1
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == n
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, 1.5)
+
+
+def test_quality_filter_reasons_and_order(spark):
+    rows = [
+        (1, "the " * 40),                # passes (tokens ok, stopwords ok)
+        (2, "ok"),                       # too_few_tokens fires FIRST
+        (3, " ".join("x" for _ in range(50))),  # no stopwords
+        (4, "a " * 50),                  # mean word len 1.0 < 2.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["passes"], r["reject_reason"]) for r in
+           quality_filter(df, min_tokens=5, min_stopword_ratio=0.02).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_few_tokens")
+    assert got[3][1] in ("too_few_stopwords", "mean_word_too_short")
+    assert got[4] == (False, "mean_word_too_short")
+    with pytest.raises(ValueError, match="unknown threshold"):
+        quality_filter(df, bogus=1)
+    # defaults pass ordinary prose
+    assert set(GOPHER_DEFAULTS) == {
+        "min_tokens", "max_tokens", "min_mean_word_len", "max_mean_word_len",
+        "max_punct_ratio", "min_stopword_ratio",
+    }
+
+
+def test_plans_are_pure_catalyst(docs):
+    """Projection-only: no Python eval node, no shuffle (Exchange) in
+    the split/sample/filter plans — they fuse into the scan."""
+    for df in (
+        hash_split(docs).select("doc_id", "split"),
+        hash_sample(docs, 0.25).select("doc_id"),
+        quality_filter(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
