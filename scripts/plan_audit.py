@@ -242,6 +242,26 @@ def main() -> None:
         must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     )
 
+    # 10. dataset-prep ops (round 5): hash split and quality filter
+    # must be pure zero-shuffle Catalyst projections that fuse into
+    # the scan — no Exchange, no Python eval, and the split prunes its
+    # scan to the id column alone
+    from elasticsearch_approx_plugin_spark.operators.sampling import hash_split
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import quality_filter
+
+    audit(
+        "train_test_split_projection",
+        hash_split(docs).select("doc_id", "split"),
+        must=["ReadSchema: struct<doc_id:bigint>"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    audit(
+        "quality_filter_projection",
+        quality_filter(docs),
+        must=["ReadSchema: struct<doc_id:bigint,text:string>"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "
