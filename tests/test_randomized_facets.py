@@ -245,3 +245,82 @@ def test_random_nested_facet_matches_oracle(
             ).fetchall()
         )
     assert got == exp
+
+
+# facet_filter lowering (round 5) composed with the tz/offset grammar.
+# Each case: (ES filter DSL, equivalent SQL predicate, interval, zone).
+# etype is null for user_id % 7 == 0 rows, so the ES null semantics are
+# live: a positive filter never matches a missing field; must_not DOES.
+FILTER_CASES = [
+    (
+        {"range": {"user_id": {"from": 20, "to": 120, "include_upper": False}}},
+        "user_id >= 20 AND user_id < 120",
+        "day", "+05:30",
+    ),
+    ({"term": {"etype": "a"}}, "etype = 'a'", "hour", None),
+    (
+        {"bool": {"must": [{"range": {"user_id": {"gte": 10}}}],
+                  "must_not": [{"term": {"etype": "b"}}]}},
+        "user_id >= 10 AND NOT coalesce(etype = 'b', false)",
+        "6h", "+05:30",
+    ),
+    (
+        {"bool": {"should": [{"term": {"etype": "a"}},
+                             {"range": {"user_id": {"lt": 30}}}]}},
+        "(coalesce(etype = 'a', false) OR coalesce(user_id < 30, false))",
+        "week", None,
+    ),
+    (
+        {"bool": {"must": [{"exists": {"field": "etype"}}]}},
+        "etype IS NOT NULL",
+        "month", "-08:00",
+    ),
+    (
+        {"bool": {"must_not": [{"exists": {"field": "etype"}}]}},
+        "NOT coalesce(etype IS NOT NULL, false)",
+        "day", None,
+    ),
+]
+
+
+@pytest.mark.parametrize("dsl,sql_pred,interval,zone", FILTER_CASES)
+def test_random_facet_filter_matches_oracle(rand_events, dsl, sql_pred, interval, zone):
+    """A full REQUEST JSON whose facet carries ``facet_filter`` replays
+    through parse_request and matches the DuckDB oracle running the
+    equivalent WHERE clause — over data WITH nulls, so the coalesce
+    null semantics of the lowering are what make the numbers agree."""
+    from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
+
+    df, path = rand_events
+    df = df.withColumn(
+        "etype", F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("etype"))
+    )
+    request = {
+        "query": {"match_all": {}},
+        "facets": {
+            "h": {
+                "date_facet": {"key_field": "ts", "interval": interval,
+                               **({"pre_zone": zone} if zone else {})},
+                "facet_filter": dsl,
+            }
+        },
+    }
+    (_, spec), = parse_request(request).items()
+    got = {
+        (r["t"], r["count"])
+        for r in spec.run(df)
+        .select(F.unix_millis(F.col("time").cast("timestamp")).alias("t"), "count")
+        .collect()
+    }
+    bucket = _oracle_bucket(interval, zone, 0, 0, False)
+    src = (
+        f"(SELECT to_timestamp(epoch_ms(ts) / 1000.0) AS dt, user_id, "
+        f"CASE WHEN user_id % 7 = 0 THEN NULL ELSE etype END AS etype "
+        f"FROM read_parquet('{path}'))"
+    )
+    exp = set(
+        duckdb.sql(
+            f"SELECT {bucket} AS t, count(*) FROM {src} WHERE {sql_pred} GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 0
