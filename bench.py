@@ -670,6 +670,84 @@ def run_decade() -> None:
     print(json.dumps(payload))
 
 
+def run_golden() -> None:
+    """Matched-scale golden-latency comparison (``python bench.py
+    --golden``; writes BENCH_GOLDEN.md). The reference's strongest
+    published latency is a golden RESPONSE ``took: 655 ms`` — a
+    minute-interval exact-distinct string-field date facet over
+    489,319 docs on a warmed single-node 5-shard local ES
+    (``src/test/resources/distinct_exact/minute_interval_unbounded_
+    string-RESPONSE.json``). This reproduces the query SHAPE at the
+    exact row count: 489,319 events (4.9 deterministic id-shifted
+    copies of the sf0.1 events table), minute interval (~43k buckets),
+    string distinct field, exact_threshold 10^7 (never tips), measured
+    warm (second run) like the golden's warmed searcher. Corpus
+    distributions differ (ours: 30 days × ~7.3k distinct string
+    values), so this is shape+scale parity, not a replay."""
+    GOLDEN_N = 489_319
+    spark = get_spark(app_name="bench_golden", master=f"local[{CPUS}]")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id", "ts", "user_id")
+    n = ev.count()
+    copies, rem = divmod(GOLDEN_N, n)
+    parts = [
+        ev.select((F.col("user_id") + i * 1_000_000).alias("u"), "ts")
+        for i in range(copies)
+    ]
+    parts.append(
+        ev.filter(F.col("event_id") < rem)
+        .select((F.col("user_id") + copies * 1_000_000).alias("u"), "ts")
+    )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df = df.select(F.concat(F.lit("user_"), F.col("u")).alias("user"), "ts").persist()
+    assert df.count() == GOLDEN_N
+
+    def facet():
+        return date_facet(
+            df, "ts", "minute", distinct_field="user",
+            distinct_method="exact", exact_threshold=10_000_000,
+        ).count()
+
+    facet()  # warm: codegen + Arrow spin-up, like the golden's warmed searcher
+    t, n_buckets = _timed(facet)
+    spark.stop()
+    payload = {
+        "metric": "golden_matched_scale_sec",
+        "value": round(t, 3),
+        "rows": GOLDEN_N,
+        "buckets": int(n_buckets),
+        "reference_took_ms": 655,
+        "ratio_vs_reference": round(t / 0.655, 3),
+    }
+    lines = [
+        "# BENCH_GOLDEN — matched-scale golden-latency comparison",
+        "",
+        "The reference's strongest published latency: golden RESPONSE",
+        "`took: 655 ms` — minute-interval exact-distinct string-field",
+        "date facet over **489,319 docs**, warmed single-node 5-shard",
+        "local ES (`distinct_exact/minute_interval_unbounded_string-",
+        "RESPONSE.json`). Reproduced at the exact row count and query",
+        "shape (minute interval, string distinct field, exact mode that",
+        "never tips), measured warm on `local[32]`. Corpus distributions",
+        "differ (ours: 30 days, ~43k minute buckets, ~7.3k distinct",
+        "users as strings), so this is shape+scale parity, not a replay.",
+        "",
+        "| | reference (Lucene, warmed) | this engine (Spark, warm) |",
+        "|---|---|---|",
+        f"| rows | 489,319 | {payload['rows']:,} |",
+        f"| wall | 0.655 s | **{payload['value']} s** |",
+        "",
+        f"buckets returned: {payload['buckets']:,}; ratio vs reference: "
+        f"**{payload['ratio_vs_reference']}×** (bar: ≤ 2× per BASELINE.md).",
+        "",
+        "Regenerate: `python bench.py --golden`.",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GOLDEN.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(payload))
+
+
 def write_bench_md(payload: dict) -> None:
     lines = [
         "# BENCH — measured numbers (local sandbox)",
@@ -840,6 +918,16 @@ def write_bench_md(payload: dict) -> None:
         f"< 0.8.",
         "",
     ]
+    if os.path.exists(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GOLDEN.md")):
+        lines += [
+            "## Matched-scale golden latency",
+            "",
+            "See `BENCH_GOLDEN.md` (generated by `python bench.py --golden`):",
+            "the reference's strongest published latency — 655 ms for a",
+            "minute-interval exact-distinct string facet over 489,319 docs,",
+            "warmed — reproduced at the exact row count and query shape.",
+            "",
+        ]
     if os.path.exists(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DECADE.md")):
         lines += [
             "## One measured decade of scale",
@@ -866,6 +954,9 @@ def main():
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--decade":
         run_decade()
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--golden":
+        run_golden()
         return
     # Scaling FIRST, before any other Spark work in this process tree:
     # the suite's sustained load hands burst credits to the subsequent
