@@ -709,8 +709,24 @@ def run_golden() -> None:
             distinct_method="exact", exact_threshold=10_000_000,
         ).count()
 
+    # second golden, same index: took=48 ms, day interval, Kolkata
+    # pre_zone, BOOLEAN distinct field (day_interval_kolkata_unbounded_
+    # boolean-RESPONSE.json). 48 ms is under any Spark job's floor
+    # (~0.2-0.3 s scheduler+codegen round-trip), so the honest report
+    # is the measured floor, not a win.
+    dfb = df.withColumn("flag", (F.crc32(F.col("user")) % 2 == 0))
+
+    def facet_bool():
+        return date_facet(
+            dfb, "ts", "day", distinct_field="flag",
+            distinct_method="exact", exact_threshold=10_000_000,
+            pre_zone="+05:30",
+        ).count()
+
     facet()  # warm: codegen + Arrow spin-up, like the golden's warmed searcher
     t, n_buckets = _timed(facet)
+    facet_bool()
+    t_bool, n_bool = _timed(facet_bool)
     spark.stop()
     payload = {
         "metric": "golden_matched_scale_sec",
@@ -719,6 +735,9 @@ def run_golden() -> None:
         "buckets": int(n_buckets),
         "reference_took_ms": 655,
         "ratio_vs_reference": round(t / 0.655, 3),
+        "golden_day_boolean_sec": round(t_bool, 3),
+        "golden_day_boolean_buckets": int(n_bool),
+        "golden_day_boolean_reference_ms": 48,
     }
     lines = [
         "# BENCH_GOLDEN — matched-scale golden-latency comparison",
@@ -740,6 +759,16 @@ def run_golden() -> None:
         "",
         f"buckets returned: {payload['buckets']:,}; ratio vs reference: "
         f"**{payload['ratio_vs_reference']}×** (bar: ≤ 2× per BASELINE.md).",
+        "",
+        "The index's OTHER golden — `took: 48 ms`, day interval, Kolkata",
+        "pre_zone, boolean distinct field — measures "
+        f"**{payload['golden_day_boolean_sec']} s** here "
+        f"({payload['golden_day_boolean_buckets']} buckets). 48 ms is",
+        "below any Spark job's scheduling floor (~0.2-0.3 s per job",
+        "round-trip), so on this golden the reference wins by design:",
+        "Spark amortizes its per-job floor across big scans, not 30-row",
+        "answers. Reported for completeness — the 655 ms golden is the",
+        "one whose work content is large enough to compare engines.",
         "",
         "Regenerate: `python bench.py --golden`.",
     ]
