@@ -112,3 +112,35 @@ def test_plans_are_pure_catalyst(docs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+def test_split_and_filter_stream_identically_to_batch(spark, sf_dir, tmp_path):
+    """The dataset-prep ops are stateless projections, so they apply to
+    a stream UNCHANGED (same function, readStream input) and must emit
+    exactly the batch assignment — the property that lets one pipeline
+    definition serve both the 100 TB backfill and the live ingest."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = hash_split(quality_filter(stream).join(stream, "doc_id"), "doc_id").select(
+        "doc_id", "passes", "reject_reason", "split"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("prep_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM prep_out").collect()}
+    exp = {
+        tuple(r)
+        for r in hash_split(quality_filter(batch).join(batch, "doc_id"), "doc_id")
+        .select("doc_id", "passes", "reject_reason", "split")
+        .collect()
+    }
+    assert got == exp and len(got) == batch.count()
