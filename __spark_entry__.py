@@ -866,7 +866,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # without a value oracle (each has a strictly stronger *_check twin
     # that stays inside the window) and timezone variants with
     # multi-round green history — so every slot in the window is a full
-    # rows+schema+hash comparison.  All 64 gates still run under
+    # rows+schema+hash comparison.  All 67 gates still run under
     # scripts/verify_entry.py locally.
     tail = [
         # VERDICT r4 #3: streaming_dedup_exact moved INTO the window (it

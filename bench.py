@@ -159,7 +159,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     fine.postings = fine.postings.persist()
     fine.dictionary = fine.dictionary.persist()
     fine.postings.count()
-    warm_index(fine)  # compile exhaustive + WAND pipelines, untimed
+    # compile exhaustive + WAND pipelines, untimed; warm_terms=None —
+    # the WAND rows deliberately measure the uncached regime, so a
+    # 200k-term collect here would be thrown away by the clear()
+    warm_index(fine, warm_terms=None)
     fine.term_cache.clear()
     dict_rows = (
         fine.dictionary.filter(~F.col("term").startswith("uniq_"))
@@ -543,11 +546,16 @@ def measure_scaling() -> dict[str, float]:
             or extra >= 2
         ):
             break
+        # maintain the probe interleaving invariant (caps[i] precedes
+        # run i, caps[i+1] follows it): the trailing probe of the
+        # previous batch IS the before-probe of the first retry run, so
+        # each retry run appends only its after-probe — an extra
+        # before-probe here would shift alignment and make pairs_from
+        # judge retried pairs against stale probes
         for n in (small, large):
             order.append(n)
-            caps.append(capacity_probe())
             seq.append(one_level(n, reps_small if n == small else reps_large))
-        caps.append(capacity_probe())
+            caps.append(capacity_probe())
         extra += 1
     valid_effs = [e for e, v in pairs if v]
     all_effs = [e for e, v in pairs]

@@ -121,7 +121,10 @@ def lower_filter(clause: dict[str, Any]) -> Column:
             "lte": lambda c, v: c <= v,
             "lt": lambda c, v: c < v,
         }
-        bounds = {k: v for k, v in cond.items() if k in ops}
+        # a JSON-null bound is how ES builders serialize an UNSET bound
+        # (RangeFilterBuilder leaves from/to null until set) — open on
+        # that side, exactly like omitting the key
+        bounds = {k: v for k, v in cond.items() if k in ops and v is not None}
         if not bounds:
             raise ValueError(f"range filter on {fld!r} has no bounds: {cond}")
         unknown = set(cond) - set(ops) - {"include_lower", "include_upper"}
@@ -135,6 +138,9 @@ def lower_filter(clause: dict[str, Any]) -> Column:
         (fld, val), = body.items()
         return F.col(fld) == F.lit(val)
     if kind == "exists":
+        unknown = set(body) - {"field"}
+        if unknown:
+            raise ValueError(f"exists filter: unsupported key(s) {sorted(unknown)}")
         return F.col(body["field"]).isNotNull()
     if kind == "bool":
         def aslist(x):

@@ -249,10 +249,19 @@ def test_facet_filter_replay(spark):
     assert len(run({"numeric_range": {"val": {"gte": 80}}})) == 2
     assert len(run({"match_all": {}})) == 10
 
+    # a JSON-null bound = unset (ES RangeFilterBuilder serializes unset
+    # bounds as null): open on that side, not a never-matching NULL
+    # comparison
+    assert len(run({"range": {"val": {"from": None, "to": 30}}})) == 4  # i ∈ 0..3
+    with pytest.raises(ValueError, match="no bounds"):
+        run({"range": {"val": {"from": None, "to": None}}})
+
     with pytest.raises(ValueError, match="unsupported filter type"):
         run({"prefix": {"user": "u"}})
     with pytest.raises(ValueError, match="no bounds"):
         run({"range": {"val": {}}})
+    with pytest.raises(ValueError, match="exists filter"):
+        run({"exists": {"field": "user", "boost": 2}})
     with pytest.raises(ValueError, match="unsupported facet-level key"):
         parse_request({"facets": {"h": {"date_facet": {
             "key_field": "datetime", "interval": "hour"}, "typo_key": 1}}})
