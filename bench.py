@@ -824,6 +824,15 @@ def write_bench_md(payload: dict) -> None:
         "is hidden (that per-batch collect job is what VM drift",
         "amplified into the r2→r4 cold-QPS slide).",
         "",
+        "Round-4 regression attribution (VERDICT r4 #6): the uniform",
+        "10-25% slide of every Python-batch-heavy query in BENCH_r04",
+        "was VM drift, not code — identical round-5 code read suite",
+        "walls from 35.9 s (probes 58.8/53.3 M ops/s) to 54.6 s",
+        "(probes 49.0/40.8) across same-day runs, a 1.5× swing that",
+        "tracks the capacity probes with zero plan or code change.",
+        "The probes above now ride every artifact, so throttled-box",
+        "vs plan-regression is machine-checkable per run.",
+        "",
         "## Append vs build (continuous-ingestion cost)",
         "",
         "Two regimes, same denominator (fresh build+write of the same",
