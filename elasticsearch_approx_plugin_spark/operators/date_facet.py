@@ -135,7 +135,12 @@ def bucket_expr(
         if not m:
             raise ValueError(f"unsupported interval {interval!r}")
         span = int(m.group(1)) * _UNIT_MS[m.group(2)]
-        b = F.timestamp_millis((F.unix_millis(ts) / span).cast("long") * span)
+        # floor (not truncate-toward-zero): pre-1970 timestamps have
+        # negative epoch millis, and the bucket start must be the span
+        # boundary at-or-before the instant on both engines (DuckDB's
+        # `//` floors; a long-cast of float division truncates and would
+        # land negative instants one span high) — VERDICT r5 #3
+        b = F.timestamp_millis(F.floor(F.unix_millis(ts) / span).cast("long") * span)
         large = span >= _LARGE_MS
     if pre_zone and (not large or pre_zone_adjust_large_interval):
         b = F.to_utc_timestamp(b, pre_zone)

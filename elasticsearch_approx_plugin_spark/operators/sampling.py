@@ -45,6 +45,14 @@ def hash_split(
     resolution); labels claim contiguous bucket ranges in dict order,
     so adding a new tail split never reassigns existing rows of the
     earlier splits (the append-safe layout a long-lived corpus needs).
+
+    **Key order IS the assignment** (ADVICE r5): because ranges are
+    claimed in iteration order, the same weights passed in a different
+    key order relabel every row — ``{"train": .8, "val": .2}`` and
+    ``{"val": .2, "train": .8}`` are different splits. Callers must
+    treat the dict as an ordered sequence of (label, weight) pairs
+    (Python dicts preserve insertion order) and pass it identically on
+    every run against the same corpus.
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     if not weights or any(w <= 0 for w in weights.values()):

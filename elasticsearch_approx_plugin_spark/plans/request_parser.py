@@ -9,11 +9,12 @@ camelCase) match the reference exactly; ``time_zone`` is an alias for
 ``exact_threshold`` means never-tip (DateFacetParser.java:188-189,
 handled downstream in sketch.py).
 
-Only the ``facets`` clause is interpreted — the enclosing ``query``
-is the caller's DataFrame filter in a PySpark-native engine (a
-``match_all`` maps to "no filter"). ``value_script``/``lang`` are
-unsupported here exactly as they are commented out in the reference
-parser.
+The enclosing ``query`` clause is lowered too (:func:`lower_query`):
+``match_all``, ``filtered``, ``constant_score.filter``, and the bare
+filter shapes the reference's tests issue all replay; scored queries
+(``match``, ``query_string``) raise — they have no filter semantics.
+``value_script``/``lang`` are unsupported here exactly as they are
+commented out in the reference parser.
 """
 
 from __future__ import annotations
@@ -125,6 +126,15 @@ def lower_filter(clause: dict[str, Any]) -> Column:
         # (RangeFilterBuilder leaves from/to null until set) — open on
         # that side, exactly like omitting the key
         bounds = {k: v for k, v in cond.items() if k in ops and v is not None}
+        # from/to (+include_lower/upper) and gt/gte/lt/lte are two
+        # spellings of the SAME bound — a clause mixing the families
+        # (e.g. {"from": 5, "gte": 10}) is no shape any reference
+        # builder emits, and silently ANDing redundant/conflicting
+        # bounds would violate the parser's strict posture (ADVICE r5)
+        if {"from", "to"} & set(bounds) and {"gt", "gte", "lt", "lte"} & set(bounds):
+            raise ValueError(
+                f"range filter on {fld!r} mixes from/to with gt/gte/lt/lte: {sorted(bounds)}"
+            )
         if not bounds:
             raise ValueError(f"range filter on {fld!r} has no bounds: {cond}")
         unknown = set(cond) - set(ops) - {"include_lower", "include_upper"}
@@ -167,16 +177,88 @@ def lower_filter(clause: dict[str, Any]) -> Column:
     )
 
 
+def lower_query(clause: dict[str, Any]) -> Column | None:
+    """Lower the enclosing ES ``query`` clause to a predicate (or None).
+
+    ES 0.90 facets run over *query-matched* documents, and the
+    reference's own tests drive real queries — always filter-context
+    shapes wrapped for the query slot
+    (``CountingQueryResultChecker.java:147-150`` issues
+    ``filteredQuery(matchAllQuery(), boolFilter(rangeFilter(...)))``).
+    Supported here (VERDICT r5 #1):
+
+    - ``match_all`` → ``None`` (no filter);
+    - ``filtered`` (``{"query": match_all?, "filter": F}``) →
+      ``lower_filter(F)`` — a scored inner query raises, since scores
+      never reach a facet but a non-match_all query WOULD change the
+      matched set;
+    - ``constant_score`` (``{"filter": F, "boost"?}``) →
+      ``lower_filter(F)`` — boost only scales scores, which facets
+      ignore, so it is accepted;
+    - bare filter shapes ``range``/``numeric_range``/``term``/
+      ``exists`` → ``lower_filter`` (a term/range *query* matches the
+      same documents as the filter; only scoring differs);
+    - bare ``bool`` → ``lower_filter``, EXCEPT when it mixes
+      must/must_not with should: in query context should-with-must is
+      scoring-only (optional), in filter context it is mandatory —
+      lowering would silently change the matched set, so that shape
+      raises.
+
+    Scored queries with no filter equivalent (``match``,
+    ``query_string``, ...) raise so nothing is silently ignored.
+    """
+    if len(clause) != 1:
+        raise ValueError(f"query clause must have exactly one key, got {sorted(clause)}")
+    (kind, body), = clause.items()
+    if kind == "match_all":
+        return None
+    if kind == "filtered":
+        unknown = set(body) - {"query", "filter"}
+        if unknown:
+            raise ValueError(f"filtered query: unsupported key(s) {sorted(unknown)}")
+        inner = body.get("query", {"match_all": {}})
+        if set(inner) != {"match_all"}:
+            raise ValueError(
+                f"filtered query: inner query must be match_all, got {sorted(inner)} "
+                "(a scored inner query would change the matched set)"
+            )
+        return lower_filter(body["filter"])
+    if kind == "constant_score":
+        unknown = set(body) - {"filter", "boost"}
+        if unknown:
+            raise ValueError(f"constant_score query: unsupported key(s) {sorted(unknown)}")
+        if "filter" not in body:
+            raise ValueError("constant_score query requires a filter (query form is scored)")
+        return lower_filter(body["filter"])
+    if kind == "bool":
+        has_must = bool(body.get("must")) or bool(body.get("must_not"))
+        if has_must and body.get("should"):
+            raise ValueError(
+                "bare bool query mixing must/must_not with should does not lower: "
+                "should is optional (scoring-only) in query context but mandatory "
+                "in filter context — use filtered/constant_score to pick semantics"
+            )
+        return lower_filter(clause)
+    if kind in ("range", "numeric_range", "term", "exists"):
+        return lower_filter(clause)
+    raise ValueError(
+        f"unsupported query type {kind!r}: scored queries have no filter semantics "
+        "(supported: match_all, filtered, constant_score, and the bare filter "
+        "shapes range/numeric_range/term/exists/bool)"
+    )
+
+
 def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermListQuery]:
     """Full REQUEST body → {facet_name: query spec}.
 
-    The ``query`` clause must be ``match_all`` (anything else is the
-    caller's job to pre-filter the DataFrame — raise so nothing is
-    silently ignored).
+    The ``query`` clause is lowered via :func:`lower_query` and folded
+    into each non-global spec's ``filter`` (ANDed with its
+    ``facet_filter``, both applied in root scope before any nested
+    explode — the same order ES applies them). A ``global`` facet
+    ignores the enclosing query but keeps its facet_filter, exactly as
+    in ES (``DateFacetBuilder.java:261-269``).
     """
-    query = request.get("query", {"match_all": {}})
-    if set(query) != {"match_all"}:
-        raise ValueError("only match_all queries replay directly; pre-filter the DataFrame")
+    query_pred = lower_query(request.get("query", {"match_all": {}}))
     out: dict[str, DateFacetQuery | TermListQuery] = {}
     for name, spec in request.get("facets", {}).items():
         # facet-level siblings the reference's builders emit next to
@@ -202,14 +284,25 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
         else:
             raise ValueError(f"facet {name!r}: unknown facet type {set(spec)}")
         ffilter = spec.get("facet_filter", spec.get("facetFilter"))
-        if spec.get("nested") is not None or spec.get("global") or ffilter is not None:
+        is_global = bool(spec.get("global", False))
+        # facet scope = (enclosing query ∧ facet_filter), both in root
+        # scope; a global facet drops the query term but keeps its own
+        # facet_filter (DateFacetBuilder.java:261-269)
+        preds = [p for p in (
+            None if is_global else query_pred,
+            lower_filter(ffilter) if ffilter is not None else None,
+        ) if p is not None]
+        combined = None
+        for p in preds:
+            combined = p if combined is None else (combined & p)
+        if spec.get("nested") is not None or is_global or combined is not None:
             import dataclasses
 
             q = dataclasses.replace(
                 q,
                 nested=spec.get("nested"),
-                global_facet=bool(spec.get("global", False)),
-                filter=lower_filter(ffilter) if ffilter is not None else None,
+                global_facet=is_global,
+                filter=combined,
             )
         out[name] = q
     return out
