@@ -586,6 +586,65 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_test_split"] = _train_test_split
 
+    # round 6: the documents table is single-line, so the two line-wise
+    # gates below rebuild each doc as '\n'-joined 4-token chunks — a
+    # transform both engines express identically (the oracle rebuilds
+    # the same lines), giving ~430 genuine cross-doc duplicate lines at
+    # sf0.01. Verified during gate design, not assumed.
+    def _chunked_lines(docs, amplify: bool):
+        toks0 = tokenize_ws("text")
+        toks = (
+            F.when(F.col("doc_id") % 7 == 0, F.concat(toks0, toks0)).otherwise(toks0)
+            if amplify
+            else toks0
+        )
+        lines = F.transform(
+            F.sequence(F.lit(1), F.ceil(F.size(toks) / 4).cast("int")),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * 4 + 1, 4), " "),
+        )
+        return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+    # Gopher-style repetition filter: docs with doc_id % 7 == 0 get
+    # their token stream self-concatenated, so the corpus exercises
+    # pass rows AND both reject reasons (dup-line when the doubling
+    # aligns to the 4-token chunking, dup-ngram otherwise)
+    def _repetition_filter(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+            repetition_filter,
+        )
+
+        return repetition_filter(_chunked_lines(_docs(spark, sf), amplify=True))
+
+    q["repetition_filter"] = _repetition_filter
+
+    # C4-style cross-document line dedup: every line keeps only its
+    # globally first (doc_id, pos) occurrence; docs reconstruct from
+    # surviving lines in order
+    def _line_dedup(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.dedup import line_dedup
+
+        return line_dedup(_chunked_lines(_docs(spark, sf), amplify=False))
+
+    q["line_dedup"] = _line_dedup
+
+    # benchmark decontamination: train docs sharing any word 4-gram
+    # with the eval slice (doc_id % 97 == 0 — 6 docs at sf0.01) are
+    # flagged; 4 is the discriminative n on this corpus (8 contaminated
+    # train docs; n=3 floods at 171, n=5 starves at 1)
+    def _decontaminate(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.contamination import (
+            decontaminate,
+        )
+
+        docs = _docs(spark, sf)
+        return decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            n=4,
+        )
+
+    q["decontaminate"] = _decontaminate
+
     # -- semantic checks for the approximate operators -----------------------
     # Each approximate/no-oracle operator also ships a CHECK gate: the
     # operator runs for real, its semantic contract (subset of the
@@ -1034,6 +1093,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   in-window).
         "date_facet_sliced_distinct",
         "token_count",
+        # round 6: repetition_filter + line_dedup + decontaminate (new
+        # corpus-hygiene operators, full hash oracles) take in-window
+        # slots; displaced (each 5 rounds green r1-r5):
+        # - ngram_jaccard: the in-window minhash_lsh_check runs
+        #   ngram_jaccard_pairs every round as its exact ground truth
+        #   (its n_exact count rides the hashed result);
+        # - embedding_cosine_dedup: the in-window
+        #   embedding_cosine_dedup_lsh_check runs the exhaustive path
+        #   every round as its subset ground truth;
+        # - fingerprint: md5 + tokenize_ws canonicalization grammar
+        #   stays exercised in-window by dedup_exact (md5 digests) and
+        #   the token-grammar gates.
+        "ngram_jaccard",
+        "embedding_cosine_dedup",
+        "fingerprint",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1049,7 +1123,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 69, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 72, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1206,6 +1280,100 @@ FROM (
          ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT % 10000 AS b
   FROM documents
 )
+"""
+
+# Shared by the three round-6 corpus-hygiene oracles: rebuild each doc
+# as '\n'-joined 4-token chunk lines, mirroring _chunked_lines (the
+# documents table is single-line, so line-wise gates need synthetic
+# lines both engines derive identically). {AMP} is the amplification
+# CASE for the repetition gate ('toks' = identity elsewhere).
+_CHUNKED = """
+toks0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t0
+  FROM documents
+), amp AS (
+  SELECT doc_id, {AMP} AS toks FROM toks0
+), chunked AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, ceil(len(toks) / 4.0)::INT),
+                        i -> array_to_string(toks[(i-1)*4+1:(i-1)*4+4], ' ')) AS lines
+  FROM amp
+)
+"""
+
+_REPETITION_FILTER = (
+    "WITH "
+    + _CHUNKED.format(AMP="CASE WHEN doc_id % 7 = 0 THEN list_concat(t0, t0) ELSE t0 END")
+    + """
+, f AS (
+  SELECT doc_id,
+         round(CASE WHEN len(lines) > 0
+               THEN 1 - len(list_distinct(lines)) / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+         round(CASE WHEN len(toks) >= 3
+               THEN 1 - len(list_distinct(grams)) / len(grams) ELSE 0.0 END, 6) AS dup_ngram_frac
+  FROM (
+    SELECT doc_id, lines, toks,
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS grams
+    FROM chunked
+  )
+)
+SELECT doc_id, reject_reason IS NULL AS passes, reject_reason FROM (
+  SELECT doc_id,
+         CASE WHEN dup_line_frac > 0.30 THEN 'too_many_dup_lines'
+              WHEN dup_ngram_frac > 0.20 THEN 'too_many_dup_ngrams'
+         END AS reject_reason
+  FROM f
+)
+"""
+)
+
+_LINE_DEDUP = (
+    "WITH "
+    + _CHUNKED.format(AMP="t0")
+    + """
+, exploded AS (
+  SELECT doc_id, unnest(lines) AS line,
+         unnest(generate_series(1, len(lines))) AS pos
+  FROM chunked
+), firsts AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM exploded
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_lines_kept
+  FROM firsts WHERE rn = 1 GROUP BY doc_id
+)
+SELECT c.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+       len(c.lines) AS n_lines,
+       coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept
+FROM chunked c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+"""
+)
+
+_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 3),
+                i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+  FROM toks
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS n
+  FROM grams g JOIN ev USING (gram)
+  WHERE g.doc_id % 97 <> 0 GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
 """
 
 
@@ -1424,6 +1592,9 @@ FROM scored QUALIFY rank <= 10
         "quality_features": _QUALITY,
         "quality_filter": _QUALITY_FILTER,
         "train_test_split": _TRAIN_TEST_SPLIT,
+        "repetition_filter": _REPETITION_FILTER,
+        "line_dedup": _LINE_DEDUP,
+        "decontaminate": _DECONTAMINATE,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

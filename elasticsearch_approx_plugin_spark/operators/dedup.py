@@ -50,6 +50,62 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-document line-level dedup (the C4 span-dedup shape, Raffel
+    et al. 2020 §2.2, at line granularity): every '\\n'-separated line
+    keeps only its GLOBALLY first occurrence — ordered by (doc id, line
+    position) — and each document is reconstructed from its surviving
+    lines in original order.
+
+    Returns (id, text_dedup, n_lines, n_lines_kept) — a doc whose every
+    line occurred earlier elsewhere survives with ``text_dedup = ''``
+    and ``n_lines_kept = 0`` (dropping empties is the caller's policy
+    call).
+
+    100 TB design: lines explode once; the first-occurrence winner per
+    line is a ``groupBy(md5(line)).agg(min(struct(id, pos)))`` — a
+    partial-aggregating hash aggregate, NOT a window, so a boilerplate
+    line appearing in millions of docs combines map-side instead of
+    collapsing onto one task. The keep decision is a join back on the
+    16-byte digest (AQE skew-join splits any residual hot digest), and
+    reconstruction is one groupBy(id) with an array_sort — three
+    shuffles total, each on a uniform or guarded key, no driver
+    participation.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5("_line"))
+    firsts = lines.groupBy("_h").agg(F.min(F.struct("_id", "_pos")).alias("_first"))
+    kept = (
+        lines.join(firsts, "_h")
+        .filter((F.col("_first._id") == F.col("_id")) & (F.col("_first._pos") == F.col("_pos")))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, base[id_col] == rebuilt["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_lines",
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        )
+    )
+
+
 def shingles(df: DataFrame, tokens_col: str, n: int = DEFAULT_SHINGLE_N) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id cols…, shingle string).
 

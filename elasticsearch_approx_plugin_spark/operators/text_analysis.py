@@ -122,6 +122,101 @@ def quality_filter(
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as ``array<string>`` (space-joined),
+    as one Catalyst ``transform(sequence(...))`` — no explode, no
+    shuffle. Empty array when the document has fewer than ``n`` tokens
+    (guarded explicitly: ``sequence(1, size-n+1)`` would DESCEND for
+    short docs and fabricate grams)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier one,
+    6-dp rounded (0.0 for the empty array)."""
+    return F.round(
+        F.when(
+            F.size(arr) > 0,
+            1 - F.size(F.array_distinct(arr)) / F.size(arr).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def add_repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram_n: int = 3
+) -> DataFrame:
+    """In-document repetition features (the Gopher §A1.1 repetition
+    family, Rae et al. 2021): ``n_lines``, ``dup_line_frac`` (fraction
+    of '\\n'-separated lines that repeat an earlier line), and
+    ``dup_ngram_frac`` (fraction of word ``ngram_n``-grams that repeat).
+
+    Like the rest of this module it is a single zero-shuffle Catalyst
+    projection — the arrays live inside one codegen'd stage per row, so
+    at 100 TB this is exactly one pruned scan. 6-dp rounding makes the
+    ANSI-SQL oracle reproduce every boundary decision bit-for-bit.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    grams = word_ngrams(tokenize_ws(text_col), ngram_n)
+    return df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        _dup_frac(lines).alias("dup_line_frac"),
+        _dup_frac(grams).alias("dup_ngram_frac"),
+    )
+
+
+REPETITION_DEFAULTS: dict[str, float] = {
+    # Gopher rejects docs whose duplicate-line fraction exceeds 0.30
+    # and uses 0.15-0.20 bars for the duplicate-n-gram family; the
+    # n-gram default is the family's loose end (we measure one n,
+    # configurable, instead of Gopher's five).
+    "max_dup_line_frac": 0.30,
+    "max_dup_ngram_frac": 0.20,
+}
+
+_REPETITION_RULES = (
+    ("too_many_dup_lines", lambda c, t: c["dup_line_frac"] > t["max_dup_line_frac"]),
+    ("too_many_dup_ngrams", lambda c, t: c["dup_ngram_frac"] > t["max_dup_ngram_frac"]),
+)
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    **thresholds,
+) -> DataFrame:
+    """Gopher-style repetition filter: (id, passes, reject_reason) with
+    the FIRST failing rule in fixed order (null iff the doc passes) —
+    the same contract as :func:`quality_filter`, and the same
+    zero-shuffle single-projection plan."""
+    unknown = set(thresholds) - set(REPETITION_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown threshold(s) {sorted(unknown)}; "
+                         f"valid: {sorted(REPETITION_DEFAULTS)}")
+    t = {**REPETITION_DEFAULTS, **thresholds}
+    feats = add_repetition_features(df, text_col, id_col, ngram_n)
+    cols = {k: F.col(k) for k in ("dup_line_frac", "dup_ngram_frac")}
+    reason = F.lit(None).cast("string")
+    for name, rule in reversed(_REPETITION_RULES):
+        reason = F.when(rule(cols, t), F.lit(name)).otherwise(reason)
+    return feats.select(
+        id_col,
+        reason.isNull().alias("passes"),
+        reason.alias("reject_reason"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: argmax over per-language marker hits
     (ties → 'und' if zero hits, else lexicographically first language).

@@ -1,0 +1,155 @@
+"""Corpus-hygiene operators (round 6): Gopher-style repetition
+features/filter, C4-style cross-document line dedup, and benchmark
+decontamination — hand-built corpora with known answers, plus the
+north-rule partitioning-invariance probe."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.operators.contamination import decontaminate
+from elasticsearch_approx_plugin_spark.operators.dedup import line_dedup
+from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+    add_repetition_features,
+    repetition_filter,
+    word_ngrams,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- word_ngrams ------------------------------------------------------------
+
+
+def test_word_ngrams_basic_and_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["a", "b"]), (3, [])],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams(F.col("toks"), 3).alias("g")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    # fewer than n tokens must yield [] — an unguarded sequence(1, size-n+1)
+    # would DESCEND and fabricate grams
+    assert got[2] == []
+    assert got[3] == []
+
+
+def test_word_ngrams_n1_is_identity_and_n0_raises(spark):
+    df = spark.createDataFrame([(1, ["x", "y"])], "doc_id long, toks array<string>")
+    assert df.select(word_ngrams(F.col("toks"), 1).alias("g")).first()["g"] == ["x", "y"]
+    with pytest.raises(ValueError):
+        word_ngrams(F.col("toks"), 0)
+
+
+# -- repetition features / filter -------------------------------------------
+
+
+def test_repetition_features_hand_corpus(spark):
+    docs = _df(
+        spark,
+        [
+            # 4 lines, lines 3+4 repeat line 1 -> dup_line_frac = 2/4
+            (1, "a b\nc d\na b\na b"),
+            # unique lines, but trigram stream repeats: tokens
+            # a b c a b c a b -> 6 trigrams, distinct 3 -> 0.5
+            (2, "a b c a\nb c a b"),
+            (3, "p q r\ns t u"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in add_repetition_features(docs).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.5
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["dup_ngram_frac"] == 0.5
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_filter_first_failing_rule_and_thresholds(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "a b\na b\na b"),  # trips BOTH rules -> line rule wins (fixed order)
+            (2, "a b c a\nb c a b"),  # trips only the ngram rule
+            (3, "p q r s\nt u v w"),  # clean
+        ],
+    )
+    got = {r["doc_id"]: (r["passes"], r["reject_reason"]) for r in repetition_filter(docs).collect()}
+    assert got[1] == (False, "too_many_dup_lines")
+    assert got[2] == (False, "too_many_dup_ngrams")
+    assert got[3] == (True, None)
+    # thresholds are overridable; unknown names rejected loudly
+    relaxed = repetition_filter(docs, max_dup_line_frac=1.0, max_dup_ngram_frac=1.0)
+    assert all(r["passes"] for r in relaxed.collect())
+    with pytest.raises(ValueError):
+        repetition_filter(docs, max_dup_lines=0.5)
+
+
+# -- line dedup ---------------------------------------------------------------
+
+
+def test_line_dedup_global_first_occurrence(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "keep one\nshared line\nkeep two"),
+            (2, "shared line\nonly in two\nshared line"),  # cross-doc + in-doc dup
+            (3, "shared line"),  # fully duplicated doc survives as ''
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in line_dedup(docs).collect()}
+    assert got[1]["text_dedup"] == "keep one\nshared line\nkeep two"
+    assert got[1]["n_lines"] == 3 and got[1]["n_lines_kept"] == 3
+    # doc 2: 'shared line' first occurred at (doc 1, pos 1) -> both copies drop
+    assert got[2]["text_dedup"] == "only in two"
+    assert got[2]["n_lines"] == 3 and got[2]["n_lines_kept"] == 1
+    assert got[3]["text_dedup"] == "" and got[3]["n_lines_kept"] == 0
+
+
+def test_line_dedup_preserves_order_and_is_partitioning_invariant(spark):
+    rows = [(i, f"common header\nbody {i} alpha\nbody {i} beta") for i in range(1, 9)]
+    docs = _df(spark, rows)
+    base = sorted(tuple(r) for r in line_dedup(docs).collect())
+    # north-rule determinism: same result under a different partitioning
+    repart = sorted(tuple(r) for r in line_dedup(docs.repartition(7)).collect())
+    assert base == repart
+    got = dict((t[0], t[1]) for t in base)
+    assert got[1] == "common header\nbody 1 alpha\nbody 1 beta"
+    for i in range(2, 9):
+        assert got[i] == f"body {i} alpha\nbody {i} beta"
+
+
+# -- decontamination ----------------------------------------------------------
+
+
+def test_decontaminate_counts_distinct_shared_ngrams(spark):
+    train = _df(
+        spark,
+        [
+            # contains the eval 4-gram 'the quick brown fox' TWICE ->
+            # distinct-per-doc, counted once
+            (1, "the quick brown fox says the quick brown fox"),
+            (2, "entirely novel training text here"),
+            # shares two different eval 4-grams
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ],
+    )
+    ev = _df(spark, [(100, "the quick brown fox jumps over the lazy dog tonight")])
+    got = {r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+           for r in decontaminate(train, ev, n=4).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    # doc 3 shares every 4-gram of 'the quick brown fox jumps over the lazy dog': 6 grams
+    assert got[3] == (6, True)
+
+
+def test_decontaminate_shuffle_join_path_matches_broadcast(spark):
+    train = _df(spark, [(i, f"alpha beta gamma delta doc {i}") for i in range(5)])
+    ev = _df(spark, [(9, "alpha beta gamma delta")])
+    a = sorted(tuple(r) for r in decontaminate(train, ev, n=4).collect())
+    b = sorted(tuple(r) for r in decontaminate(train, ev, n=4, broadcast_eval=False).collect())
+    assert a == b
+    assert all(t[2] for t in a)  # every train doc contains the eval 4-gram
+    with pytest.raises(ValueError):
+        decontaminate(train, ev, n=0)
