@@ -645,6 +645,72 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = _decontaminate
 
+    # data mixing: per-source keep rates exercising full-keep (1.0),
+    # partial (0.5/0.25), zero, and the default_fraction fallback path
+    # (0.1 for the 16 unlisted sources) — the oracle recomputes the
+    # identical md5-bucket arithmetic
+    def _stratified_sample(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        return stratified_sample(
+            _docs(spark, sf).select("doc_id", "source"),
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+            default_fraction=0.1,
+        )
+
+    q["stratified_sample"] = _stratified_sample
+
+    # PII redaction: the synthetic corpus has no PII, so docs with
+    # doc_id % 5 == 0 get a deterministic email+IP (and % 10 == 0 also
+    # a phone) appended — a transform both engines express identically;
+    # counts and the rewritten text are then full-hash-checked
+    def _pii_redact(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+            pii_redact,
+        )
+
+        docs = _docs(spark, sf)
+        injected = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" contact u"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.org from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(
+                        F.lit(" call +1 555-00"),
+                        (F.col("doc_id") % 100).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return pii_redact(injected)
+
+    q["pii_redact"] = _pii_redact
+
+    # training-sequence prep: overlapping 16-token windows, stride 8 —
+    # docs are 10-99 tokens, so the corpus exercises single-window,
+    # multi-window, and short-tail shapes
+    def _token_chunk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+            token_chunk,
+        )
+
+        return token_chunk(_docs(spark, sf), max_tokens=16, stride=8)
+
+    q["token_chunk"] = _token_chunk
+
     # -- semantic checks for the approximate operators -----------------------
     # Each approximate/no-oracle operator also ships a CHECK gate: the
     # operator runs for real, its semantic contract (subset of the
@@ -1108,6 +1174,24 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard",
         "embedding_cosine_dedup",
         "fingerprint",
+        # round 6 (second batch): stratified_sample + pii_redact +
+        # token_chunk (data-mixing / PII-masking / sequence-prep
+        # operators, full hash oracles) take in-window slots; displaced
+        # (each 5 rounds green r1-r5, each with a strictly stronger
+        # in-window twin):
+        # - term_list_sampled_det: the in-window term_list_sampled_check
+        #   verifies the seeded-sample contract (subset + determinism)
+        #   every round;
+        # - connected_components: the in-window dedup_keep_list gate
+        #   FORCES the distributed min-label/pointer-jumping path over
+        #   the same machinery every round;
+        # - date_facet_distinct_exact: the in-window never-tip hybrid
+        #   twin asserts the identical exact distinct counts through
+        #   the strictly harder path (same justification the r6 first
+        #   batch used for date_facet_sliced_distinct).
+        "term_list_sampled_det",
+        "connected_components",
+        "date_facet_distinct_exact",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1117,13 +1201,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk",                 # covered by ann_ivf_check
         "date_facet_distinct_hybrid_threshold",  # 3 rounds green; twin of _hybrid/_tipped
         "date_facet_hour_offset",       # 3 rounds green; offset-grammar twin
-        "date_facet_24h",               # 3 rounds green; grammar twin of hour/day gates
-        "date_facet_week",              # 3 rounds green
-        "date_facet_postzone",          # 3 rounds green
+        "date_facet_24h",               # 4 rounds green; grammar twin of hour/day gates
+        "date_facet_week",              # 4 rounds green
+        "date_facet_postzone",          # 4 rounds green
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 72, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 75, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1376,6 +1460,70 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
 """
 
+_STRATIFIED_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT % 10000 AS b
+  FROM documents
+)
+WHERE b < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
+                      ELSE 1000 END
+"""
+
+
+def _pii_sql() -> str:
+    # the ORDER and the PATTERN STRINGS must be byte-identical to the
+    # operator's — import them rather than restate them (they are
+    # RE2-safe by construction, so DuckDB compiles the same strings)
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import PII_PATTERNS
+
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact u' || doc_id::VARCHAR || '@example.org from 10.0.'
+                   || (doc_id % 256)::VARCHAR || '.7' ELSE '' END ||
+         CASE WHEN doc_id % 10 = 0
+              THEN ' call +1 555-00' || (doc_id % 100)::VARCHAR ELSE '' END AS text
+  FROM documents
+)"""
+    prev = "s0"
+    carried: list[str] = []
+    for i, (kind, pat) in enumerate(PII_PATTERNS.items(), 1):
+        carry = ", ".join(carried) + (", " if carried else "")
+        sql += (
+            f", s{i} AS (\n  SELECT doc_id, {carry}"
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{kind},\n"
+            f"         regexp_replace(text, '{pat}', '<{kind.upper()}>', 'g') AS text\n"
+            f"  FROM {prev}\n)"
+        )
+        carried.append(f"n_{kind}")
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{k}::BIGINT AS n_{k}" for k in PII_PATTERNS)
+    return sql + f"\nSELECT doc_id, text AS text_redacted, {cols} FROM {prev}"
+
+
+_TOKEN_CHUNK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(0,
+           CASE WHEN len(toks) > 0
+                THEN ceil(greatest(len(toks) - 16, 0) / 8.0)::INT
+                ELSE -1 END)) AS i
+  FROM toks
+)
+SELECT doc_id, i::BIGINT AS chunk_id,
+       array_to_string(toks[i*8+1:i*8+16], ' ') AS chunk_text,
+       least(n - i*8, 16)::BIGINT AS n_chunk_tokens
+FROM w
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     ev_day = "epoch_ms(date_trunc('day', ts)::TIMESTAMP)"
@@ -1595,6 +1743,9 @@ FROM scored QUALIFY rank <= 10
         "repetition_filter": _REPETITION_FILTER,
         "line_dedup": _LINE_DEDUP,
         "decontaminate": _DECONTAMINATE,
+        "stratified_sample": _STRATIFIED_SAMPLE,
+        "pii_redact": _pii_sql(),
+        "token_chunk": _TOKEN_CHUNK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

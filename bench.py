@@ -294,6 +294,42 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     t, _ = _timed(lambda: add_quality_features(docs, "text").count())
     timings["quality_features"] = round(t, 3)
 
+    # corpus hygiene (round 6): line dedup over '\n'-joined 4-token
+    # chunk lines (the documents table is single-line — chunking gives
+    # the operator real cross-doc duplicate lines to elect winners
+    # over), and decontamination of the corpus against a small eval
+    # slice (broadcast gram probe — the training explode never shuffles)
+    from elasticsearch_approx_plugin_spark.operators.contamination import decontaminate
+    from elasticsearch_approx_plugin_spark.operators.dedup import line_dedup
+
+    chunk = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("tokens") / 4).cast("int")),
+        lambda i: F.array_join(F.slice("tokens", (i - 1) * 4 + 1, 4), " "),
+    )
+    lined = toks.select("doc_id", F.array_join(chunk, "\n").alias("text"))
+    t, _ = _timed(lambda: line_dedup(lined).count())
+    timings["line_dedup"] = round(t, 3)
+
+    t, _ = _timed(
+        lambda: decontaminate(
+            docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0"), n=4
+        ).count()
+    )
+    timings["decontaminate"] = round(t, 3)
+
+    # PII redaction (regex-chain CPU) and sequence chunking (explode
+    # fan-out) — the remaining per-row-heavy hygiene stages
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+        pii_redact,
+        token_chunk,
+    )
+
+    t, _ = _timed(lambda: pii_redact(docs).count())
+    timings["pii_redact"] = round(t, 3)
+
+    t, _ = _timed(lambda: token_chunk(docs, max_tokens=16, stride=8).count())
+    timings["token_chunk"] = round(t, 3)
+
     index.postings.unpersist()
     index.dictionary.unpersist()
     return timings, extras

@@ -84,3 +84,41 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(_hash_bucket(id_col, seed) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-MIXING primitive
+    (domain reweighting a la Pile/RedPajama recipes): keep each row with
+    its stratum's fraction, e.g. ``{"web": 0.3, "code": 1.0}`` keeps
+    30% of web docs and all code docs.
+
+    Same hash arithmetic as :func:`hash_sample` — a pure function of
+    (id, seed), so the kept set is partitioning/cluster/engine-invariant
+    AND nested across fractions per stratum (raising one stratum's rate
+    only ADDS rows of that stratum; it never swaps earlier picks —
+    mixture-ratio sweeps reuse shards instead of re-sampling).
+
+    Rows whose stratum is unlisted (or NULL) keep ``default_fraction``
+    (0.0: unknown domains are dropped loudly, not silently kept).
+    ``df.sampleBy`` gives per-partition seed streams and none of this.
+
+    100 TB design: one zero-shuffle filter fused into the scan; the
+    stratum→threshold map is a literal CASE (strata are domains —
+    dozens, not millions), never a join.
+    """
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad or not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"fractions must be in [0, 1]: {bad or default_fraction}")
+    thresh = F.lit(int(round(default_fraction * BUCKETS)))
+    for label, frac in reversed(list(fractions.items())):
+        thresh = F.when(
+            F.col(stratum_col) == label, F.lit(int(round(frac * BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(_hash_bucket(id_col, seed) < thresh)

@@ -246,3 +246,101 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     up to token order/multiplicity collide."""
     canon = F.array_join(F.array_sort(F.array_distinct(tokenize_ws(text_col))), " ")
     return df.select(id_col, F.md5(canon).alias("fingerprint"))
+
+
+# PII patterns, applied in this order. Deliberately RE2-safe (no
+# lookaround, no backreferences) so the DuckDB oracle — and any other
+# RE2-based engine — runs the IDENTICAL pattern strings Java regex
+# compiles here. \b is the ASCII word boundary in both.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    # international-format numbers only (leading +): a bare-digit-run
+    # pattern would shred numeric data columns at corpus scale
+    "phone": r"\+[0-9][0-9 ()./-]{6,}[0-9]",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """PII masking (the ROOTS/BigScience pre-training hygiene step):
+    every match of each pattern is replaced by its ``<KIND>`` token,
+    applied sequentially in ``kinds`` order; returns
+    (id, text_redacted, n_<kind>...) with each count taken on the text
+    as it stood BEFORE that kind's replacement (so counts compose the
+    same way the sequential rewrite does, and the oracle reproduces
+    both bit-for-bit).
+
+    100 TB design: a chain of ``regexp_replace``/``regexp_extract_all``
+    inside one codegen'd projection — zero shuffle, one pruned scan;
+    regex cost is per-row CPU that scales embarrassingly.
+    """
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown kind(s) {sorted(unknown)}; valid: {sorted(PII_PATTERNS)}")
+    text = F.col(text_col)
+    counts = []
+    for k in kinds:
+        pat = PII_PATTERNS[k]
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long").alias(f"n_{k}")
+        )
+        text = F.regexp_replace(text, pat, f"<{k.upper()}>")
+    return df.select(id_col, text.alias("text_redacted"), *counts)
+
+
+def token_chunk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-length token windows — the
+    training-sequence prep step between cleaning and tokenizer encoding.
+    Window i covers tokens [i*stride+1, i*stride+max_tokens]; the last
+    window may be short; ``stride`` defaults to ``max_tokens``
+    (non-overlapping), smaller strides overlap. A doc with zero tokens
+    yields zero chunks.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens) — one row per
+    window, ``chunk_id`` 0-based in document order.
+
+    100 TB design: the windows are built row-locally
+    (``transform(sequence(...))`` + ``slice``) and row-ified by ONE
+    ``posexplode`` Generate pipelined into the scan — zero shuffle,
+    and each task's output is bounded by its input tokens ×
+    (max_tokens/stride) overlap factor.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(f"stride must be in [1, max_tokens], got {stride}")
+    toks = tokenize_ws(text_col)
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - max_tokens, 0) / stride);
+    # the explicit n > 0 guard keeps sequence() from descending
+    n_chunks = (
+        F.ceil(F.greatest(n - max_tokens, F.lit(0)) / stride).cast("int") + 1
+    )
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, i * stride + 1, max_tokens), " ").alias("txt"),
+            F.least(n - i * stride, F.lit(max_tokens)).cast("long").alias("cnt"),
+        ),
+    )
+    return df.select(id_col, F.posexplode(chunks).alias("chunk_id", "_c")).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_c.txt").alias("chunk_text"),
+        F.col("_c.cnt").alias("n_chunk_tokens"),
+    )

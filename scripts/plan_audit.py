@@ -262,6 +262,79 @@ def main() -> None:
         must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 11. corpus-hygiene ops (round 6): the repetition filter is another
+    # zero-shuffle projection; line_dedup's first-occurrence winner must
+    # be a partial-aggregating min(struct) — NEVER a window over the
+    # line key (a boilerplate line in millions of docs would collapse
+    # onto one task); decontaminate must probe a broadcast of the eval
+    # gram set so the exploded training grams — the biggest relation in
+    # the pipeline at 100 TB — never shuffle
+    from elasticsearch_approx_plugin_spark.operators.contamination import decontaminate
+    from elasticsearch_approx_plugin_spark.operators.dedup import line_dedup
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+        repetition_filter,
+    )
+
+    audit(
+        "repetition_filter_projection",
+        repetition_filter(docs),
+        must=["ReadSchema: struct<doc_id:bigint,text:string>"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    audit(
+        "line_dedup_partial_agg",
+        line_dedup(docs),
+        must=["partial_min", "partial_collect_list"],
+        must_not=[
+            "Window",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "BatchEvalPython",
+            "ArrowEvalPython",
+        ],
+    )
+    audit(
+        "decontaminate_broadcast_eval",
+        decontaminate(
+            docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0"), n=4
+        ),
+        # the gram probe is the BHJ whose left keys are [gram#N] —
+        # formatted mode puts keys in the node detail, not the tree line
+        must=["BroadcastHashJoin Inner BuildRight", "Left keys [1]: [gram#"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 12. round-6 second batch: stratified sampling and PII redaction
+    # are zero-shuffle row-local stages; token_chunk is one Generate
+    # (posexplode) pipelined into the scan — all three fuse into a
+    # single pass over the corpus at 100 TB
+    from elasticsearch_approx_plugin_spark.operators.sampling import stratified_sample
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+        pii_redact,
+        token_chunk,
+    )
+
+    audit(
+        "stratified_sample_filter",
+        stratified_sample(
+            docs.select("doc_id", "source"), {"src0": 1.0, "src1": 0.5}
+        ),
+        must=["ReadSchema: struct<doc_id:bigint,source:string>"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    audit(
+        "pii_redact_projection",
+        pii_redact(docs),
+        must=["ReadSchema: struct<doc_id:bigint,text:string>"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    audit(
+        "token_chunk_generate",
+        token_chunk(docs, max_tokens=16, stride=8),
+        must=["Arguments: posexplode", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "

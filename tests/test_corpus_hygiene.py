@@ -153,3 +153,127 @@ def test_decontaminate_shuffle_join_path_matches_broadcast(spark):
     assert all(t[2] for t in a)  # every train doc contains the eval 4-gram
     with pytest.raises(ValueError):
         decontaminate(train, ev, n=0)
+
+
+# -- stratified sampling (data mixing) ----------------------------------------
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from elasticsearch_approx_plugin_spark.operators.sampling import (
+        BUCKETS,
+        _hash_bucket,
+        stratified_sample,
+    )
+
+    rows = [(i, "web" if i % 2 else "code") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = stratified_sample(df, {"web": 0.5, "code": 1.0})
+    got = {r["doc_id"] for r in kept.collect()}
+    # exact semantics: bucket < fraction * BUCKETS per stratum
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", _hash_bucket("doc_id", 42).alias("b")).collect()
+    }
+    exp = {
+        i
+        for i, src in rows
+        if buckets[i] < (BUCKETS // 2 if src == "web" else BUCKETS)
+    }
+    assert got == exp
+    # nesting: raising web's rate only ADDS web rows
+    more = {r["doc_id"] for r in stratified_sample(df, {"web": 0.8, "code": 1.0}).collect()}
+    assert got <= more
+    # unlisted strata follow default_fraction (0 -> dropped)
+    assert {r["doc_id"] for r in stratified_sample(df, {"web": 1.0}).collect()} == {
+        i for i, s in rows if s == "web"
+    }
+
+
+def test_stratified_sample_null_stratum_and_validation(spark):
+    import pytest as _pytest
+
+    from elasticsearch_approx_plugin_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "web")], "doc_id long, source string"
+    )
+    # NULL stratum matches no CASE arm -> default_fraction applies
+    kept = stratified_sample(df, {"web": 1.0}, default_fraction=1.0)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+    kept0 = stratified_sample(df, {"web": 1.0}, default_fraction=0.0)
+    assert {r["doc_id"] for r in kept0.collect()} == {1, 3}
+    with _pytest.raises(ValueError):
+        stratified_sample(df, {"web": 1.5})
+
+
+# -- PII redaction ------------------------------------------------------------
+
+
+def test_pii_redact_rewrites_and_counts(spark):
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import pii_redact
+
+    df = _df(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.com or 10.0.0.1 call +1 (555) 123-4567"),
+            (2, "no pii here just words"),
+            (3, "two mails a@b.io c@d.org and ip 192.168.1.255"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> or <IPV4> call <PHONE>"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[2]["text_redacted"] == "no pii here just words"
+    assert (got[3]["n_email"], got[3]["n_ipv4"]) == (2, 1)
+
+
+def test_pii_redact_kinds_subset_and_validation(spark):
+    import pytest as _pytest
+
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import pii_redact
+
+    df = _df(spark, [(1, "a@b.io at 10.0.0.1")])
+    r = pii_redact(df, kinds=("email",)).first()
+    # only the requested kind is redacted or counted
+    assert r["text_redacted"] == "<EMAIL> at 10.0.0.1"
+    assert r.asDict().get("n_ipv4") is None
+    with _pytest.raises(ValueError):
+        pii_redact(df, kinds=("email", "ssn"))
+
+
+# -- token chunking (sequence prep) -------------------------------------------
+
+
+def test_token_chunk_window_math(spark):
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import token_chunk
+
+    df = _df(spark, [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, "a b"), (3, "")])
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in token_chunk(df, max_tokens=4, stride=2).collect()
+    )
+    assert rows == [
+        (1, 0, "t1 t2 t3 t4", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t5 t6 t7", 3),  # short tail window kept
+        (2, 0, "a b", 2),  # doc shorter than max -> one window
+        # doc 3 has zero tokens -> zero chunks
+    ]
+
+
+def test_token_chunk_nonoverlap_reconstructs_and_validates(spark):
+    import pytest as _pytest
+
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import token_chunk
+
+    text = " ".join(f"w{i}" for i in range(23))
+    df = _df(spark, [(1, text)])
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in token_chunk(df, max_tokens=8).collect()
+    )
+    # default stride == max_tokens: chunks partition the token stream
+    assert " ".join(t for _, t in rows) == text
+    with _pytest.raises(ValueError):
+        token_chunk(df, max_tokens=0)
+    with _pytest.raises(ValueError):
+        token_chunk(df, max_tokens=4, stride=5)

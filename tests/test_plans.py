@@ -80,3 +80,68 @@ def test_cosine_topk_window_group_limit(spark, sf_dir):
     plan = _simple(cosine_topk(emb, qs, 5))
     # Spark turns the rank<=k filter into partial+final top-k
     assert "WindowGroupLimit" in plan
+
+
+def test_repetition_filter_zero_shuffle_projection(spark, sf_dir):
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+        repetition_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _simple(repetition_filter(docs))
+    assert "*(" in plan  # whole-stage codegen active
+    assert "Exchange" not in plan  # row-local: one pruned scan at 100 TB
+    assert "InPandas" not in plan and "Python" not in plan
+
+
+def test_line_dedup_partial_agg_no_window(spark, sf_dir):
+    """The first-occurrence winner per line must be a partial-aggregating
+    min(struct(id,pos)) — a window over the line key would collapse a
+    boilerplate line shared by millions of docs onto one task."""
+    from elasticsearch_approx_plugin_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _simple(line_dedup(docs))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the digest key
+    assert "partial_collect_list" in plan  # reconstruction combines map-side too
+    # digest winner-agg + winner join + rebuild groupBy + final join;
+    # broadcast exchanges excluded (AQE picks them at small scale)
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "InPandas" not in plan and "Python" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The training side's exploded n-grams must probe a broadcast of
+    the (small) eval gram set — never shuffle: at 100 TB the exploded
+    training grams are the biggest relation in the whole pipeline."""
+    from elasticsearch_approx_plugin_spark.operators.contamination import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = decontaminate(
+        docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0"), n=4
+    )
+    plan = _simple(df)
+    assert "BroadcastHashJoin [gram" in plan
+    # only the eval-distinct and the per-doc count shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "InPandas" not in plan and "Python" not in plan
+
+
+def test_batch2_hygiene_ops_zero_shuffle(spark, sf_dir):
+    from elasticsearch_approx_plugin_spark.operators.sampling import stratified_sample
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+        pii_redact,
+        token_chunk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        stratified_sample(docs.select("doc_id", "source"), {"src0": 1.0}),
+        pii_redact(docs),
+        token_chunk(docs, max_tokens=16, stride=8),
+    ):
+        plan = _simple(df)
+        assert "Exchange" not in plan  # all three fuse into one scan pass
+        assert "InPandas" not in plan and "Python" not in plan
