@@ -277,3 +277,55 @@ def test_token_chunk_nonoverlap_reconstructs_and_validates(spark):
         token_chunk(df, max_tokens=0)
     with _pytest.raises(ValueError):
         token_chunk(df, max_tokens=4, stride=5)
+
+
+# -- stream/batch parity ------------------------------------------------------
+
+
+def test_hygiene_ops_stream_identically_to_batch(spark, sf_dir, tmp_path):
+    """repetition_filter, pii_redact, token_chunk, and
+    stratified_sample are stateless row-local stages, so the SAME
+    function applied to a readStream input must emit exactly the batch
+    result — one pipeline definition serves the 100 TB backfill and
+    the live ingest. (line_dedup/decontaminate are global-state
+    operators and are deliberately batch/foreachBatch-only.)"""
+    from elasticsearch_approx_plugin_spark.operators.sampling import stratified_sample
+    from elasticsearch_approx_plugin_spark.operators.text_analysis import (
+        pii_redact,
+        repetition_filter,
+        token_chunk,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "hygiene_stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    def pipe(df):
+        mixed = stratified_sample(df, {"src0": 1.0, "src1": 0.5}, default_fraction=0.2)
+        rep = repetition_filter(mixed)
+        pii = pii_redact(mixed)
+        chunks = token_chunk(mixed, max_tokens=16, stride=8)
+        return (
+            rep.join(pii, "doc_id")
+            .join(chunks, "doc_id")
+            .select(
+                "doc_id", "passes", "text_redacted", "n_email",
+                "chunk_id", "chunk_text",
+            )
+        )
+
+    q = (
+        pipe(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hygiene_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM hygiene_out").collect()}
+    exp = {tuple(r) for r in pipe(batch).collect()}
+    assert got == exp and len(got) > 0
