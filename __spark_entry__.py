@@ -55,6 +55,14 @@ BM25_QUERIES = [
 ]
 K = 10
 
+PHRASE_QUERIES = [
+    (0, ["table", "hash"]),          # frequent bigram (46 docs at sf0.01)
+    (1, ["slow", "hash", "batch"]),  # trigram, repeats inside docs
+    (2, ["table", "table"]),         # repeated term -> overlap counting
+    (3, ["dup", "row"]),             # both terms exist, never adjacent
+    (4, ["table", "zzznope"]),       # unknown term -> zero candidates
+]
+
 _INDEX_CACHE: dict[str, object] = {}
 def _ensure_shipped(spark: SparkSession) -> None:
     """The driver creates its own SparkSession, so ship the package to
@@ -163,6 +171,27 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_deleted"] = lambda spark, sf: score_queries(
         _lifecycle_index(spark, sf, list(range(25))), BM25_QUERIES, K, prune=True
     )
+
+    # phrase queries (round 6): candidates from the non-positional
+    # index (docs containing ALL phrase terms), adjacency verified
+    # row-locally with positional (overlapping) semantics. The phrase
+    # set exercises: frequent bigram, multi-occurrence trigram,
+    # repeated-term phrase (overlap counting), terms-present-but-never-
+    # adjacent (candidates > 0, matches = 0), and an unknown term
+    # (candidates = 0).
+    def _phrase_match(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.phrase import phrase_match
+
+        return phrase_match(_index(spark, sf), _tokens(spark, sf), PHRASE_QUERIES)
+
+    q["phrase_match"] = _phrase_match
+
+    def _phrase_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.phrase import phrase_topk
+
+        return phrase_topk(_index(spark, sf), _tokens(spark, sf), PHRASE_QUERIES, K)
+
+    q["phrase_topk"] = _phrase_topk
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1192,6 +1221,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_list_sampled_det",
         "connected_components",
         "date_facet_distinct_exact",
+        # round 6 (third batch): phrase_match + phrase_topk (phrase
+        # queries — candidates from the non-positional index, row-local
+        # adjacency verify; full hash oracles incl. BM25 re-rank) take
+        # in-window slots; displaced:
+        # - streaming_date_facet (5 rounds green; the in-window
+        #   streaming_distinct_facet twin runs the strictly harder path
+        #   over the same watermark/window lowering — windowed agg PLUS
+        #   the stateful mergeable-sketch machinery);
+        # - index_doc_stats (5 rounds green; every in-window bm25 gate's
+        #   6-dp scores are a strictly stronger function of the same
+        #   (n_docs, avgdl, df) statistics — any drift in them breaks
+        #   those hashes).
+        "streaming_date_facet",
+        "index_doc_stats",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1207,7 +1250,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 75, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 77, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1524,6 +1567,68 @@ SELECT doc_id, i::BIGINT AS chunk_id,
 FROM w
 """
 
+_PHRASE_VALUES = ", ".join(
+    f"({qid}, [{', '.join(repr(t) for t in p)}])" for qid, p in PHRASE_QUERIES
+)
+
+# phrase match with positional (overlapping) semantics: count window
+# positions whose token slice equals the phrase — the oracle-side
+# CROSS JOIN is the all-pairs oracle path, fine at sf0.01
+_PHRASE_MATCH = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (SELECT * FROM (VALUES {_PHRASE_VALUES}) AS q(query_id, phrase)),
+m AS (
+  SELECT q.query_id, d.doc_id,
+         len(list_filter(generate_series(1, len(toks) - len(phrase) + 1),
+                         i -> toks[i:i+len(phrase)-1] = phrase)) AS n_occurrences
+  FROM q CROSS JOIN d
+  WHERE len(toks) >= len(phrase)
+)
+SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences::BIGINT AS n_occurrences
+FROM m WHERE n_occurrences > 0
+"""
+
+# phrase-filtered BM25 top-k: the _BM25 scoring CTEs restricted to the
+# phrase match set, summed over the phrase's distinct terms
+_PHRASE_TOPK = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {_PHRASE_VALUES}) AS q(query_id, phrase)),
+mset AS (
+  SELECT q.query_id, d.doc_id
+  FROM q CROSS JOIN d
+  WHERE len(toks) >= len(phrase)
+    AND len(list_filter(generate_series(1, len(toks) - len(phrase) + 1),
+                        i -> toks[i:i+len(phrase)-1] = phrase)) > 0
+),
+qterm AS (SELECT query_id, unnest(list_distinct(phrase)) AS term FROM q),
+scores AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM mset m
+  JOIN qterm qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN dfreq df ON df.term = qt.term
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     ev_day = "epoch_ms(date_trunc('day', ts)::TIMESTAMP)"
@@ -1746,6 +1851,8 @@ FROM scored QUALIFY rank <= 10
         "stratified_sample": _STRATIFIED_SAMPLE,
         "pii_redact": _pii_sql(),
         "token_chunk": _TOKEN_CHUNK,
+        "phrase_match": _PHRASE_MATCH,
+        "phrase_topk": _PHRASE_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

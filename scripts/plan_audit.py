@@ -335,6 +335,19 @@ def main() -> None:
         must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 13. phrase queries on the persisted index: the candidate pass must
+    # prune whole bucket directories and push the term predicate; the
+    # verify join must never degenerate into a product
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_match
+
+    pidx = read_index(spark, tmp)  # the bucketed index from audit 1
+    audit(
+        "phrase_match_pruned_candidates",
+        phrase_match(pidx, toks, [(0, ["hash", "join"]), (1, ["table", "scan"])]),
+        must=["PartitionFilters: [bucket", "PushedFilters: [In(term"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "

@@ -1,0 +1,130 @@
+"""Phrase queries: candidates from the non-positional inverted index,
+row-local adjacency verification with positional (overlapping)
+occurrence counting; phrase-filtered BM25 top-k must equal the term
+scorers' BM25 restricted to the phrase match set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+from elasticsearch_approx_plugin_spark.operators.bm25 import score_queries
+from elasticsearch_approx_plugin_spark.operators.phrase import phrase_match, phrase_topk
+from elasticsearch_approx_plugin_spark.operators.postings import build_index
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "quick brown shoes and a quick brown hat"),
+        (2, "brown quick inverted order here"),
+        (3, "table table table stacked"),
+        (4, "the quick red fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select("doc_id", tokenize_ws("text").alias("tokens"))
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return build_index(corpus, range_bits=2)
+
+
+def test_phrase_match_adjacency_and_overlap(index, corpus):
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_match(
+            index,
+            corpus,
+            [(0, ["quick", "brown"]), (1, ["table", "table"]), (2, ["quick", "red", "fox"])],
+        ).collect()
+    }
+    # doc 2 contains both terms but never adjacent -> absent
+    assert got == {
+        (0, 0): 1,
+        (0, 1): 2,  # two occurrences in one doc
+        (1, 3): 2,  # 'table table table' -> OVERLAPPING count = 2
+        (2, 4): 1,
+    }
+
+
+def test_phrase_match_unknown_term_and_validation(index, corpus):
+    assert phrase_match(index, corpus, [(0, ["quick", "zzz"])]).count() == 0
+    with pytest.raises(ValueError):
+        phrase_match(index, corpus, [(0, [])])
+    with pytest.raises(ValueError):
+        phrase_topk(index, corpus, [(0, ["quick"])], k=0)
+
+
+def test_phrase_match_partitioning_invariant(spark, index, corpus):
+    a = sorted(
+        tuple(r) for r in phrase_match(index, corpus, [(0, ["quick", "brown"])]).collect()
+    )
+    idx7 = build_index(corpus.repartition(7), range_bits=2)
+    b = sorted(
+        tuple(r)
+        for r in phrase_match(idx7, corpus.repartition(3), [(0, ["quick", "brown"])]).collect()
+    )
+    assert a == b and len(a) == 2
+
+
+def test_phrase_topk_equals_bm25_on_match_set(index, corpus):
+    """phrase_topk must be score_queries(phrase terms) re-ranked over
+    the phrase-matching docs — identical 6-dp scores."""
+    phrase = ["quick", "brown"]
+    topk = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in phrase_topk(index, corpus, [(7, phrase)], k=10).collect()
+    }
+    match_ids = {
+        r["doc_id"] for r in phrase_match(index, corpus, [(7, phrase)]).collect()
+    }
+    full = {
+        r["doc_id"]: r["score"]
+        for r in score_queries(index, [(7, phrase)], k=100).collect()
+    }
+    assert set(topk) == match_ids
+    for did, (score, _) in topk.items():
+        assert score == full[did]
+    ranks = sorted(rank for _, rank in topk.values())
+    assert ranks == list(range(1, len(topk) + 1))
+
+
+def test_phrase_match_respects_tombstones(spark, corpus, tmp_path):
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        delete_from_index,
+        read_index,
+        write_index,
+    )
+
+    p = str(tmp_path / "phrase_idx")
+    write_index(build_index(corpus, range_bits=2), p, n_buckets=2)
+    delete_from_index(spark, p, [1])
+    idx = read_index(spark, p)
+    got = {r["doc_id"] for r in phrase_match(idx, corpus, [(0, ["quick", "brown"])]).collect()}
+    assert got == {0}  # doc 1 tombstoned -> excluded despite matching
+
+
+def test_phrase_persisted_index_prunes_buckets(spark, corpus, tmp_path):
+    from elasticsearch_approx_plugin_spark.operators.phrase import _term_doc_pairs
+    from elasticsearch_approx_plugin_spark.operators.postings import (
+        read_index,
+        write_index,
+    )
+
+    p = str(tmp_path / "phrase_idx_pruned")
+    write_index(build_index(corpus, range_bits=2), p, n_buckets=8)
+    idx = read_index(spark, p)
+    pairs = _term_doc_pairs(idx, ["quick", "brown"])
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "PartitionFilters: [bucket" in plan  # whole directories pruned
+    got = sorted(tuple(r) for r in pairs.collect())
+    exp = sorted(
+        (t, d)
+        for d, toks in [(r["doc_id"], r["tokens"]) for r in corpus.collect()]
+        for t in set(toks)
+        if t in ("quick", "brown")
+    )
+    assert got == exp
