@@ -55,6 +55,8 @@ BM25_QUERIES = [
 ]
 K = 10
 
+PREFIX_QUERIES = [(0, "s"), (1, "ta"), (2, "c"), (3, "zz")]
+
 PHRASE_QUERIES = [
     (0, ["table", "hash"]),          # frequent bigram (46 docs at sf0.01)
     (1, ["slow", "hash", "batch"]),  # trigram, repeats inside docs
@@ -192,6 +194,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_topk(_index(spark, sf), _tokens(spark, sf), PHRASE_QUERIES, K)
 
     q["phrase_topk"] = _phrase_topk
+
+    # prefix queries (round 6): capped dictionary expansion (Lucene
+    # max_expansions semantics, term order) + BM25 over the expanded
+    # disjunction. max_expansions=3 makes the cap BIND on prefix 's'
+    # (6 vocabulary matches); 'zz' matches nothing
+    def _prefix_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.prefix import prefix_topk
+
+        return prefix_topk(_index(spark, sf), PREFIX_QUERIES, K, max_expansions=3)
+
+    q["prefix_topk"] = _prefix_topk
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1235,6 +1248,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   those hashes).
         "streaming_date_facet",
         "index_doc_stats",
+        # round 6 (third batch, cont.): prefix_topk (capped dictionary
+        # expansion + BM25 disjunction, full hash oracle) takes an
+        # in-window slot; displaced:
+        # - distinct_global (5 rounds green; the in-window
+        #   date_facet_rollup_totals gate computes its overall-distinct
+        #   row as the SAME global sketch merge every round — op 14's
+        #   totals ARE a global DistinctCountPayload merge).
+        "distinct_global",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1250,7 +1271,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 77, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 78, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1629,6 +1650,36 @@ SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
 FROM scores QUALIFY rank <= {K}
 """
 
+# prefix expansion (first max_expansions=3 dictionary terms in term
+# order, Lucene semantics) + the _BM25 scoring CTEs over the expanded
+# disjunction
+_PREFIX_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+p AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{pre}')" for qid, pre in PREFIX_QUERIES)}) AS p(query_id, prefix)),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY d.term) AS rn
+    FROM p JOIN dfreq d ON starts_with(d.term, p.prefix)
+  ) WHERE rn <= 3
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     ev_day = "epoch_ms(date_trunc('day', ts)::TIMESTAMP)"
@@ -1853,6 +1904,7 @@ FROM scored QUALIFY rank <= 10
         "token_chunk": _TOKEN_CHUNK,
         "phrase_match": _PHRASE_MATCH,
         "phrase_topk": _PHRASE_TOPK,
+        "prefix_topk": _PREFIX_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

@@ -128,3 +128,43 @@ def test_phrase_persisted_index_prunes_buckets(spark, corpus, tmp_path):
         if t in ("quick", "brown")
     )
     assert got == exp
+
+
+# -- prefix queries -----------------------------------------------------------
+
+
+def test_prefix_expand_cap_and_order(index):
+    from elasticsearch_approx_plugin_spark.operators.prefix import prefix_expand
+
+    # vocabulary: the, quick, brown, fox, jumps, shoes, and, a, hat,
+    # inverted, order, here, table, stacked, red
+    got = dict(prefix_expand(index, [(0, "t"), (1, "s"), (2, "zz")], max_expansions=2))
+    assert got[0] == ["table", "the"]  # term (dictionary) order
+    assert got[1] == ["shoes", "stacked"]
+    assert got[2] == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prefix_expand(index, [(0, "t")], max_expansions=0)
+    with _pytest.raises(ValueError):
+        prefix_expand(index, [(0, "")])
+
+
+def test_prefix_topk_equals_expanded_score_queries(index):
+    from elasticsearch_approx_plugin_spark.operators.prefix import (
+        prefix_expand,
+        prefix_topk,
+    )
+
+    got = sorted(tuple(r) for r in prefix_topk(index, [(0, "qu"), (1, "zz")], k=5).collect())
+    expanded = [(qid, ts) for qid, ts in prefix_expand(index, [(0, "qu")]) if ts]
+    exp = sorted(tuple(r) for r in score_queries(index, expanded, 5).collect())
+    assert got == exp and len(got) > 0  # zero-match prefix contributes nothing
+
+
+def test_prefix_topk_all_zero_match(index):
+    from elasticsearch_approx_plugin_spark.operators.prefix import prefix_topk
+
+    df = prefix_topk(index, [(0, "zz"), (1, "xx")], k=5)
+    assert df.count() == 0
+    assert df.columns == ["query_id", "doc_id", "score", "rank"]
