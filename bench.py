@@ -291,6 +291,26 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     )
     timings["hybrid_rrf_topk_10q"] = round(t, 3)
 
+    # phrase + prefix serving (round 6): candidates from the warmed
+    # in-memory index, row-local adjacency verify / capped expansion
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_topk
+    from elasticsearch_approx_plugin_spark.operators.prefix import prefix_topk
+
+    t, _ = _timed(
+        lambda: phrase_topk(
+            index,
+            toks,
+            [(0, ["table", "hash"]), (1, ["slow", "hash", "batch"]), (2, ["table", "table"])],
+            10,
+        ).count()
+    )
+    timings["phrase_topk_3q"] = round(t, 3)
+
+    t, _ = _timed(
+        lambda: prefix_topk(index, [(0, "s"), (1, "ta"), (2, "c")], 10).count()
+    )
+    timings["prefix_topk_3q"] = round(t, 3)
+
     t, _ = _timed(lambda: add_quality_features(docs, "text").count())
     timings["quality_features"] = round(t, 3)
 

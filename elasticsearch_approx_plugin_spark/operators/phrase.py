@@ -107,6 +107,35 @@ def _validated(phrases: list[tuple[int, list[str]]]) -> list[tuple[int, list[str
     return [(int(qid), [str(t) for t in p]) for qid, p in phrases]
 
 
+def _candidates(
+    index: InvertedIndex, phrases: list[tuple[int, list[str]]]
+) -> DataFrame:
+    """(query_id, doc_id) for live docs containing ALL of the phrase's
+    terms — the postings intersection. Calling this also warms
+    ``index.term_cache`` for every phrase term (the dictionary collect
+    happens inside ``_term_doc_pairs``)."""
+    spark = index.postings.sparkSession
+    terms = sorted({t for _, p in phrases for t in p})
+    # n_terms rides each (query_id, term) row (constant per query), so
+    # the all-terms-present check is a HAVING on the candidate groupBy
+    # instead of a second broadcast join — one fewer stage per call.
+    qt = spark.createDataFrame(
+        [(qid, t, len(set(p))) for qid, p in phrases for t in set(p)],
+        "query_id long, term string, n_terms int",
+    )
+    cand = (
+        _term_doc_pairs(index, terms)
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("_nt"), F.min("n_terms").alias("_need"))
+        .filter(F.col("_nt") == F.col("_need"))
+        .select("query_id", "doc_id")
+    )
+    if index.tombstones is not None:
+        cand = cand.join(index.tombstones, "doc_id", "left_anti")
+    return cand
+
+
 def _matches_with_tokens(
     index: InvertedIndex,
     corpus: DataFrame,
@@ -118,24 +147,7 @@ def _matches_with_tokens(
     occurrence; tombstoned docs excluded (live-docs semantics, like the
     scorers)."""
     spark = index.postings.sparkSession
-    terms = sorted({t for _, p in phrases for t in p})
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, p in phrases for t in set(p)], "query_id long, term string"
-    )
-    need = spark.createDataFrame(
-        [(qid, len(set(p))) for qid, p in phrases], "query_id long, n_terms int"
-    )
-    cand = (
-        _term_doc_pairs(index, terms)
-        .join(F.broadcast(qt), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("_nt"))
-        .join(F.broadcast(need), "query_id")
-        .filter(F.col("_nt") == F.col("n_terms"))
-        .select("query_id", "doc_id")
-    )
-    if index.tombstones is not None:
-        cand = cand.join(index.tombstones, "doc_id", "left_anti")
+    cand = _candidates(index, phrases)
     ph = spark.createDataFrame(
         [(qid, p) for qid, p in phrases], "query_id long, phrase array<string>"
     )
@@ -187,37 +199,58 @@ def phrase_topk(
     documents that match the phrase — i.e. exactly
     ``score_queries(index, phrase_terms)`` re-ranked over the phrase
     match set. Computed from the candidate docs' token arrays (tf/dl
-    are row-local there), so no second postings pass is needed.
+    are row-local there), so no second postings pass is needed; the
+    per-query (term, idf) pairs ride the SAME broadcast row as the
+    phrase itself, and the per-term sum is a row-local ``F.aggregate``
+    fold over that array — no scoring shuffle and no second join. The
+    only shuffles left are the candidate intersection's groupBy and
+    the final per-query top-k window, both over candidate-sized data.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     phrases = _validated(phrases)
     spark = index.postings.sparkSession
-    matches = _matches_with_tokens(index, corpus, phrases, tokens_col, id_col)
-    cache = index.term_cache  # warm after _matches_with_tokens
-    qt_idf = spark.createDataFrame(
+    cand = _candidates(index, phrases)
+    cache = index.term_cache  # warm after _candidates
+    payload = spark.createDataFrame(
         [
-            (qid, t, _idf(index.n_docs, cache[t][0]))
+            (
+                qid,
+                p,
+                [
+                    (t, _idf(index.n_docs, cache[t][0]))
+                    for t in sorted(set(p))
+                    if cache[t][0] > 0
+                ],
+            )
             for qid, p in phrases
-            for t in set(p)
-            if cache[t][0] > 0
         ],
-        "query_id long, term string, idf double",
+        "query_id long, phrase array<string>, "
+        "qidf array<struct<term: string, idf: double>>",
+    )
+    docs = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
     )
     avgdl = index.avgdl or 1.0
-    tf = F.size(F.filter(F.col("_toks"), lambda x: x == F.col("term"))).cast("double")
-    dl = F.size(F.col("_toks")).cast("double")
-    tfnorm = (tf * (index.k1 + 1.0)) / (
-        tf + index.k1 * (1.0 - index.b + index.b * dl / F.lit(avgdl))
+    k1, b = index.k1, index.b
+    toks = F.col("_toks")
+    dl = F.size(toks).cast("double")
+
+    def _contrib(s: Column) -> Column:
+        tf = F.size(F.filter(toks, lambda x: x == s["term"])).cast("double")
+        return s["idf"] * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))
+        )
+
+    score = F.round(
+        F.aggregate(F.col("qidf"), F.lit(0.0), lambda acc, s: acc + _contrib(s)), 6
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        matches.join(F.broadcast(qt_idf), "query_id")
-        .select(
-            "query_id", "doc_id", (F.col("idf") * tfnorm).alias("_s")
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        cand.join(docs, "doc_id")
+        .join(F.broadcast(payload), "query_id")
+        .filter(_occurrences(toks, F.col("phrase")) > 0)
+        .select("query_id", "doc_id", score.alias("score"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
