@@ -57,6 +57,13 @@ K = 10
 
 PREFIX_QUERIES = [(0, "s"), (1, "ta"), (2, "c"), (3, "zz")]
 
+FUZZY_QUERIES = [
+    (0, "tabel"),   # classic typo: distance 2 to 'table', nothing else
+    (1, "dat"),     # 5 dictionary terms within distance 2 -> the cap BINDS
+    (2, "stream"),  # exact match (distance 0) always survives the cap first
+    (3, "xxxx"),    # zero-match query -> no rows
+]
+
 PHRASE_QUERIES = [
     (0, ["table", "hash"]),          # frequent bigram (46 docs at sf0.01)
     (1, ["slow", "hash", "batch"]),  # trigram, repeats inside docs
@@ -205,6 +212,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prefix_topk(_index(spark, sf), PREFIX_QUERIES, K, max_expansions=3)
 
     q["prefix_topk"] = _prefix_topk
+
+    # fuzzy queries (round 6): capped Levenshtein dictionary expansion
+    # in deterministic (distance, term) order + BM25 over the expanded
+    # disjunction. fuzziness=2 (the Lucene cap); max_expansions=3 makes
+    # the cap BIND on 'dat' (5 vocabulary terms within distance 2);
+    # 'stream' is an exact hit; 'xxxx' matches nothing
+    def _fuzzy_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.fuzzy import fuzzy_topk
+
+        return fuzzy_topk(
+            _index(spark, sf), FUZZY_QUERIES, K, fuzziness=2, max_expansions=3
+        )
+
+    q["fuzzy_topk"] = _fuzzy_topk
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1256,6 +1277,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   row as the SAME global sketch merge every round — op 14's
         #   totals ARE a global DistinctCountPayload merge).
         "distinct_global",
+        # round 6 (fourth batch): fuzzy_topk (capped Levenshtein
+        # expansion + BM25 disjunction, full hash oracle) takes an
+        # in-window slot; displaced:
+        # - bm25_topk_appended (4 rounds green r2-r5; its oracle is the
+        #   identical _BM25 statement as the in-window bm25_topk, and
+        #   the in-window bm25_topk_deleted gate runs the strictly
+        #   harder lifecycle every round — the same
+        #   build→write→append path PLUS tombstone filtering).
+        "bm25_topk_appended",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1271,7 +1301,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 78, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 79, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1680,6 +1710,37 @@ SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
 FROM scores QUALIFY rank <= {K}
 """
 
+# fuzzy expansion (terms within Levenshtein distance 2, first
+# max_expansions=3 in deterministic (distance, term) order) + the _BM25
+# scoring CTEs over the expanded disjunction
+_FUZZY_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+p AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)}) AS p(query_id, qt)),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY levenshtein(d.term, p.qt), d.term) AS rn
+    FROM p JOIN dfreq d ON levenshtein(d.term, p.qt) <= 2
+  ) WHERE rn <= 3
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     ev_day = "epoch_ms(date_trunc('day', ts)::TIMESTAMP)"
@@ -1905,6 +1966,7 @@ FROM scored QUALIFY rank <= 10
         "phrase_match": _PHRASE_MATCH,
         "phrase_topk": _PHRASE_TOPK,
         "prefix_topk": _PREFIX_TOPK,
+        "fuzzy_topk": _FUZZY_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
