@@ -57,6 +57,13 @@ K = 10
 
 PREFIX_QUERIES = [(0, "s"), (1, "ta"), (2, "c"), (3, "zz")]
 
+BOOL_MSM_QUERIES = [
+    (0, ["dup", "row"], 2),          # rare term: m=2 (AND) bites (~26 docs)
+    (1, ["hash", "join", "sort"], 2),
+    (2, ["table", "stream"], 1),     # m=1 == the plain OR disjunction
+    (3, ["dup", "zzznope"], 2),      # unknown term can never satisfy m=2
+]
+
 FUZZY_QUERIES = [
     (0, "tabel"),   # classic typo: distance 2 to 'table', nothing else
     (1, "dat"),     # 5 dictionary terms within distance 2 -> the cap BINDS
@@ -226,6 +233,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fuzzy_topk"] = _fuzzy_topk
+
+    # bool should + minimum_should_match (round 6): docs must match
+    # >= m DISTINCT query terms; matched terms alone contribute to the
+    # BM25 sum. The match count rides the scorer's np.add.at pass, and
+    # per-range counting is exact because a doc's postings for ALL its
+    # terms live in its one range
+    def _bool_msm_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.bm25 import bool_should_topk
+
+        return bool_should_topk(_index(spark, sf), BOOL_MSM_QUERIES, K)
+
+    q["bool_msm_topk"] = _bool_msm_topk
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1286,6 +1305,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   harder lifecycle every round — the same
         #   build→write→append path PLUS tombstone filtering).
         "bm25_topk_appended",
+        # round 6 (fourth batch, cont.): bool_msm_topk
+        # (minimum_should_match bool queries, full hash oracle) takes
+        # an in-window slot; displaced:
+        # - corpus_lang_histogram (2 rounds green r4-r5; the in-window
+        #   lang_id gate hash-checks the identical per-document labels
+        #   every round — the histogram is a pure count aggregation of
+        #   exactly those labels).
+        "corpus_lang_histogram",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1301,7 +1328,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 79, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 80, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1741,6 +1768,30 @@ SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
 FROM scores QUALIFY rank <= {K}
 """
 
+# bool should + minimum_should_match: the _BM25 scoring CTEs with a
+# per-query HAVING on the distinct-matched-term count
+_BOOL_MSM_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, ts, _ in BOOL_MSM_QUERIES for t in sorted(set(ts)))}) AS q(query_id, term)),
+mq AS (SELECT * FROM (VALUES {", ".join(f"({qid}, {m})" for qid, _, m in BOOL_MSM_QUERIES)}) AS mq(query_id, m)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN mq USING (query_id)
+  JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2 HAVING count(*) >= max(mq.m)
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     ev_day = "epoch_ms(date_trunc('day', ts)::TIMESTAMP)"
@@ -1967,6 +2018,7 @@ FROM scored QUALIFY rank <= 10
         "phrase_topk": _PHRASE_TOPK,
         "prefix_topk": _PREFIX_TOPK,
         "fuzzy_topk": _FUZZY_TOPK,
+        "bool_msm_topk": _BOOL_MSM_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

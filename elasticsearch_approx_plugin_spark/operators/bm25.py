@@ -57,7 +57,7 @@ def _topk_select(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     return cand[np.lexsort((uniq[cand], -scores[cand]))[:k]]
 
 
-def _make_scorer(k1: float, b: float, avgdl: float, k: int, tomb=None):
+def _make_scorer(k1: float, b: float, avgdl: float, k: int, tomb=None, msm=None):
     """Scores one doc range for ALL queries in the batch.
 
     Each (term, range) posting row is varint-decoded exactly once and
@@ -69,6 +69,15 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int, tomb=None):
     tombstone ids}`` — shipped once per executor instead of riding
     every posting row as a column (whose shuffle/Arrow volume would
     scale as posting_rows × deletes_per_range; ADVICE r2).
+
+    ``msm`` (optional ``{query_id: m}``) enforces ES bool-should
+    ``minimum_should_match``: a doc must match >= m DISTINCT query
+    terms to be a candidate. The match-count accumulates in the same
+    ``np.add.at`` pass as the scores (each term's postings list a doc
+    at most once), and because a doc's postings for ALL terms live in
+    its one range (``range_id = doc_id >> range_bits``), the per-range
+    count is the global count — filtering before the local top-k stays
+    exact.
     """
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -100,6 +109,12 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int, tomb=None):
             scores = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(scores, inv, np.concatenate(contrib_parts))
             scores = np.round(scores, SCORE_DECIMALS)
+            m = msm.get(qid, 1) if msm else 1
+            if m > 1:
+                counts = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(counts, inv, 1)
+                keep = counts >= m
+                uniq, scores = uniq[keep], scores[keep]
             sel = _topk_select(uniq, scores, k)
             out_q.extend([qid] * sel.size)
             out_id.extend(uniq[sel].astype(np.int64).tolist())
@@ -236,6 +251,7 @@ def score_queries(
     prune: bool = False,
     stats: dict | None = None,
     wand_max_postings: int = 50_000_000,
+    minimum_should_match: int | dict[int, int] = 1,
 ) -> DataFrame:
     """Score a batch of (query_id, terms) → (query_id, doc_id, score, rank).
 
@@ -262,8 +278,24 @@ def score_queries(
     task, so it routes through the range-parallel exhaustive branch
     instead; the two result sets union (identical semantics either
     way). Cost-based routing, decided per query on the driver.
+
+    ``minimum_should_match`` (an int for all queries, or a per-query
+    ``{query_id: m}``) gives ES bool-should semantics: only docs
+    matching >= m DISTINCT query terms are candidates; matched terms
+    alone contribute to the score (automatic — unmatched terms add 0).
+    m=1 is the plain OR disjunction. Queries with m > 1 route through
+    the range-parallel exhaustive scorer even under ``prune=True``
+    (the WAND walk's bounds model OR semantics; routing, not an
+    approximation — results stay exact).
     """
     spark = index.postings.sparkSession
+    if isinstance(minimum_should_match, dict):
+        msm = {int(q): int(m) for q, m in minimum_should_match.items() if int(m) > 1}
+    else:
+        m = int(minimum_should_match)
+        if m < 1:
+            raise ValueError(f"minimum_should_match must be >= 1, got {m}")
+        msm = {qid: m for qid, _ in queries} if m > 1 else {}
     terms = sorted({t for _, ts in queries for t in ts})
     has_buckets = bool(index.n_buckets) and "bucket" in index.postings.columns
     # per-index query-side cache (VERDICT r3 #2: each call ran a
@@ -304,7 +336,7 @@ def score_queries(
     # compacted — no postings remain, so the 1.0 never reaches a score;
     # it just keeps the tfnorm denominator finite (ADVICE r2).
     avgdl = index.avgdl or 1.0
-    scorer = _make_scorer(index.k1, index.b, avgdl, k, tomb_b)
+    scorer = _make_scorer(index.k1, index.b, avgdl, k, tomb_b, msm or None)
     out_schema = "query_id long, doc_id long, score double"
 
     if prune:
@@ -312,6 +344,7 @@ def score_queries(
             qid
             for qid, ts in queries
             if sum(cache[t][0] for t in set(ts)) > wand_max_postings
+            or msm.get(qid, 1) > 1
         }
         wand = _make_wand_scorer(index.k1, index.b, avgdl, k, index.ub_scale, tomb_b)
         wand_in = matched
@@ -360,6 +393,27 @@ def score_queries(
 def bm25_topk(index: InvertedIndex, terms: Iterable[str], k: int = 10) -> DataFrame:
     """Single-query convenience wrapper."""
     return score_queries(index, [(0, list(terms))], k).drop("query_id")
+
+
+def bool_should_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, list[str], int]],
+    k: int = 10,
+    prune: bool = False,
+) -> DataFrame:
+    """ES ``bool`` query with ``should`` term clauses and a per-query
+    ``minimum_should_match``: each query is (query_id, terms, m). Docs
+    matching >= m distinct terms rank by the BM25 sum of their matched
+    terms — m=1 is the plain OR disjunction, m=len(terms) is AND."""
+    if any(m < 1 for _, _, m in queries):
+        raise ValueError("minimum_should_match must be >= 1 for every query")
+    return score_queries(
+        index,
+        [(qid, ts) for qid, ts, _ in queries],
+        k,
+        prune=prune,
+        minimum_should_match={qid: m for qid, _, m in queries},
+    )
 
 
 def warm_index(

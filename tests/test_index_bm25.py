@@ -785,3 +785,95 @@ def test_lifecycle_fuzz_crud_sequence(spark, tmp_path):
     live |= batch2
     check()
     toks.unpersist()
+
+
+# --- minimum_should_match (ES bool-should semantics) -----------------------
+
+MSM_ORACLE = ORACLE_BM25.replace(
+    "q AS (SELECT * FROM (VALUES {qvalues}) AS q(query_id, term)),",
+    "q AS (SELECT * FROM (VALUES {qvalues}) AS q(query_id, term)),\n"
+    "mq AS (SELECT * FROM (VALUES {mvalues}) AS mq(query_id, m)),",
+).replace(
+    "  FROM q\n  JOIN tf USING (term)",
+    "  FROM q\n  JOIN mq USING (query_id)\n  JOIN tf USING (term)",
+).replace(
+    "CROSS JOIN stats s\n  GROUP BY 1, 2",
+    "CROSS JOIN stats s\n  GROUP BY 1, 2 HAVING count(*) >= max(mq.m)",
+)
+
+MSM_QUERIES = [
+    (0, ["dup", "row"], 2),        # rare term: AND bites hard (~26 docs)
+    (1, ["hash", "join", "sort"], 2),
+    (2, ["table", "stream"], 1),   # m=1 == plain OR
+    (3, ["dup", "zzz"], 2),        # unknown term can never satisfy m=2
+]
+
+
+def _msm_oracle(sf_dir, queries, k):
+    qvalues = ", ".join(f"({qid}, '{t}')" for qid, ts, _ in queries for t in set(ts))
+    mvalues = ", ".join(f"({qid}, {m})" for qid, _, m in queries)
+    sql = MSM_ORACLE.format(
+        path=f"{sf_dir}/documents.parquet", qvalues=qvalues, mvalues=mvalues, k=k
+    )
+    return duckdb.sql(sql).fetchall()
+
+
+def test_msm_matches_oracle_and_query3_empty(index, sf_dir):
+    from elasticsearch_approx_plugin_spark.operators.bm25 import bool_should_topk
+
+    res = bool_should_topk(index, MSM_QUERIES, K).orderBy("query_id", "rank")
+    got = [(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in res.collect()]
+    assert got == _msm_oracle(sf_dir, MSM_QUERIES, K)
+    assert not any(qid == 3 for qid, *_ in got)  # unknown term: m unreachable
+    assert any(qid == 0 for qid, *_ in got)
+
+
+def test_msm_all_terms_is_and(index, docs, sf_dir):
+    from elasticsearch_approx_plugin_spark.operators.bm25 import bool_should_topk
+
+    terms = ["dup", "row", "hash"]
+    got_ids = {
+        r["doc_id"]
+        for r in bool_should_topk(index, [(0, terms, 3)], 10_000).collect()
+    }
+    want_ids = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.forall(F.array(*[F.lit(t) for t in terms]), lambda t: F.array_contains("tokens", t))
+        ).collect()
+    }
+    assert got_ids == want_ids and got_ids
+
+
+def test_msm_prune_routes_exhaustive_and_matches(index):
+    from elasticsearch_approx_plugin_spark.operators.bm25 import bool_should_topk
+
+    stats = {}
+    pruned = bool_should_topk(index, MSM_QUERIES, K, prune=True)
+    plain = bool_should_topk(index, MSM_QUERIES, K, prune=False)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))
+    # m>1 queries must take the exhaustive branch under prune
+    _ = score_queries(
+        index,
+        [(qid, ts) for qid, ts, _ in MSM_QUERIES],
+        K,
+        prune=True,
+        stats=stats,
+        minimum_should_match={qid: m for qid, _, m in MSM_QUERIES},
+    ).collect()
+    assert stats["exhaustive_routed"] == 3 and stats["wand_routed"] == 1
+
+
+def test_msm_one_equals_plain_or(index):
+    a = score_queries(index, QUERIES, K, minimum_should_match=1)
+    b = score_queries(index, QUERIES, K)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_msm_validation(index):
+    from elasticsearch_approx_plugin_spark.operators.bm25 import bool_should_topk
+
+    with pytest.raises(ValueError):
+        bool_should_topk(index, [(0, ["hash"], 0)])
+    with pytest.raises(ValueError):
+        score_queries(index, QUERIES, K, minimum_should_match=0)
