@@ -51,6 +51,59 @@ def _validated(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     return [(int(qid), str(t)) for qid, t in queries]
 
 
+def _expansion_df(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    fuzziness: int,
+    prefix_length: int,
+    max_expansions: int,
+) -> DataFrame:
+    """The capped expansion as a DataFrame (collected by
+    :func:`fuzzy_expand`; exposed separately so the plan is auditable)."""
+    dictionary = index.dictionary
+    if prefix_length:
+        # a plain OR-of-startswith conjunct: parquet-translatable on a
+        # persisted dictionary (the full conditions below OR-in the
+        # non-pushable levenshtein term, so THEY never reach the scan)
+        dictionary = dictionary.filter(
+            reduce(
+                lambda a, b: a | b,
+                [F.col("term").startswith(qt[:prefix_length]) for _, qt in queries],
+            )
+        )
+    conds, cells = [], []
+    for qid, qt in queries:
+        dist = F.levenshtein(F.col("term"), F.lit(qt))
+        cond = dist <= fuzziness
+        if prefix_length:
+            cond = F.col("term").startswith(qt[:prefix_length]) & cond
+        conds.append(cond)
+        cells.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"), dist.alias("dist")
+                ),
+            )
+        )
+    return (
+        dictionary.filter(reduce(lambda a, b: a | b, conds))
+        .select(
+            "term",
+            F.explode(F.filter(F.array(*cells), lambda x: x.isNotNull())).alias("m"),
+        )
+        .select("term", F.col("m.query_id").alias("query_id"), F.col("m.dist").alias("dist"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "term")
+            ),
+        )
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "dist", "term")
+    )
+
+
 def fuzzy_expand(
     index: InvertedIndex,
     queries: list[tuple[int, str]],
@@ -69,38 +122,9 @@ def fuzzy_expand(
     if max_expansions < 1:
         raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
     queries = _validated(queries)
-    conds, cells = [], []
-    for qid, qt in queries:
-        dist = F.levenshtein(F.col("term"), F.lit(qt))
-        cond = dist <= fuzziness
-        if prefix_length:
-            cond = F.col("term").startswith(qt[:prefix_length]) & cond
-        conds.append(cond)
-        cells.append(
-            F.when(
-                cond,
-                F.struct(
-                    F.lit(qid).cast("long").alias("query_id"), dist.alias("dist")
-                ),
-            )
-        )
-    matches = (
-        index.dictionary.filter(reduce(lambda a, b: a | b, conds))
-        .select(
-            "term",
-            F.explode(F.filter(F.array(*cells), lambda x: x.isNotNull())).alias("m"),
-        )
-        .select("term", F.col("m.query_id").alias("query_id"), F.col("m.dist").alias("dist"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("dist", "term")
-            ),
-        )
-        .filter(F.col("rn") <= max_expansions)
-        .select("query_id", "dist", "term")
-        .collect()
-    )
+    matches = _expansion_df(
+        index, queries, fuzziness, prefix_length, max_expansions
+    ).collect()
     out: dict[int, list[str]] = {qid: [] for qid, _ in queries}
     for r in sorted(matches, key=lambda r: (r["query_id"], r["dist"], r["term"])):
         out[int(r["query_id"])].append(r["term"])

@@ -348,6 +348,36 @@ def main() -> None:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # 14. phrase-filtered BM25: scoring is a row-local F.aggregate fold
+    # over the broadcast per-query (term, idf) array — the only
+    # shuffles are the candidate intersection and the top-k window, and
+    # no Python node appears anywhere after the candidate decode
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_topk
+
+    audit(
+        "phrase_topk_rowlocal_scoring",
+        phrase_topk(pidx, toks, [(0, ["hash", "join"]), (1, ["table", "scan"])], 10),
+        must=["PartitionFilters: [bucket", "PushedFilters: [In(term"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    )
+
+    # 15. fuzzy expansion with prefix_length: the OR-of-startswith
+    # prefilter must reach the persisted dictionary's parquet scan
+    # (the levenshtein conjuncts are not translatable, so this separate
+    # pushable conjunct is what keeps a billion-term dictionary from a
+    # full scan); no Python node, no product
+    from elasticsearch_approx_plugin_spark.operators.fuzzy import _expansion_df
+
+    audit(
+        "fuzzy_expansion_pushdown",
+        _expansion_df(
+            pidx, [(0, "tabel"), (1, "scan")], fuzziness=2, prefix_length=2,
+            max_expansions=3,
+        ),
+        must=["PushedFilters: [Or(StringStartsWith(term,ta),StringStartsWith(term,sc))"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "
