@@ -57,6 +57,13 @@ K = 10
 
 PREFIX_QUERIES = [(0, "s"), (1, "ta"), (2, "c"), (3, "zz")]
 
+PHRASE_PREFIX_QUERIES = [
+    (0, ["table", "ha"]),         # 'table h*' — expansion [hash]
+    (1, ["slow", "hash", "ba"]),  # trigram with prefix tail [batch]
+    (2, ["s"]),                   # prefix-only; cap=2 BINDS (6 s-terms)
+    (3, ["table", "zz"]),         # empty expansion -> no rows
+]
+
 BOOL_MSM_QUERIES = [
     (0, ["dup", "row"], 2),          # rare term: m=2 (AND) bites (~26 docs)
     (1, ["hash", "join", "sort"], 2),
@@ -245,6 +252,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bool_should_topk(_index(spark, sf), BOOL_MSM_QUERIES, K)
 
     q["bool_msm_topk"] = _bool_msm_topk
+
+    # match_phrase_prefix (round 6): complete terms verified like
+    # phrase_match, the last position accepts any term of the prefix's
+    # CAPPED expansion (Lucene MultiPhrasePrefixQuery — the cap is
+    # binding and the verify consults the expansion list itself)
+    def _phrase_prefix_match(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.phrase import (
+            phrase_prefix_match,
+        )
+
+        return phrase_prefix_match(
+            _index(spark, sf), _tokens(spark, sf), PHRASE_PREFIX_QUERIES,
+            max_expansions=2,
+        )
+
+    q["phrase_prefix_match"] = _phrase_prefix_match
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1313,6 +1336,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   every round — the histogram is a pure count aggregation of
         #   exactly those labels).
         "corpus_lang_histogram",
+        # round 6 (fifth batch): phrase_prefix_match registers in the
+        # TAIL (full hash oracle, verified every round by the local
+        # verify_sweep): it is a pure composition of two mechanisms the
+        # window already hash-checks each round — phrase_match's
+        # candidate intersection + row-local window verify, and
+        # prefix_topk's capped term-order dictionary expansion.
+        "phrase_prefix_match",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1328,7 +1358,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 80, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 81, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1668,6 +1698,41 @@ m AS (
 SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences::BIGINT AS n_occurrences
 FROM m WHERE n_occurrences > 0
 """
+
+# match_phrase_prefix: the phrase-window oracle with the last position
+# tested against the SAME capped (max_expansions=2) term-order
+# expansion the operator uses; a query with an empty expansion drops
+# at the alts join (no rows), matching the operator
+_PHRASE_PREFIX_VALUES = ", ".join(
+    f"({qid}, [{', '.join(repr(t) for t in p[:-1])}]::VARCHAR[], {p[-1]!r})"
+    for qid, p in PHRASE_PREFIX_QUERIES
+)
+_PHRASE_PREFIX_MATCH = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+dict AS (SELECT DISTINCT unnest(toks) AS term FROM d),
+p AS (SELECT * FROM (VALUES {{values}}) AS p(query_id, phrase, prefix)),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, t.term,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY t.term) AS rn
+    FROM p JOIN dict t ON starts_with(t.term, p.prefix)
+  ) WHERE rn <= 2
+),
+alts AS (SELECT query_id, list(term ORDER BY term) AS alts FROM exp GROUP BY 1),
+m AS (
+  SELECT p.query_id, d.doc_id,
+         len(list_filter(generate_series(1, len(toks) - len(phrase)),
+             i -> toks[i:i+len(phrase)-1] = phrase
+                  AND list_contains(a.alts, toks[i+len(phrase)]))) AS n_occurrences
+  FROM p JOIN alts a USING (query_id) CROSS JOIN d
+  WHERE len(toks) > len(phrase)
+)
+SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences::BIGINT AS n_occurrences
+FROM m WHERE n_occurrences > 0
+""".format(values=_PHRASE_PREFIX_VALUES)
 
 # phrase-filtered BM25 top-k: the _BM25 scoring CTEs restricted to the
 # phrase match set, summed over the phrase's distinct terms
@@ -2019,6 +2084,7 @@ FROM scored QUALIFY rank <= 10
         "prefix_topk": _PREFIX_TOPK,
         "fuzzy_topk": _FUZZY_TOPK,
         "bool_msm_topk": _BOOL_MSM_TOPK,
+        "phrase_prefix_match": _PHRASE_PREFIX_MATCH,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

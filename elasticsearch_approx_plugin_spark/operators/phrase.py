@@ -183,6 +183,96 @@ def phrase_match(
     ).select("query_id", "doc_id", "n_occurrences")
 
 
+def phrase_prefix_match(
+    index: InvertedIndex,
+    corpus: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    max_expansions: int = 50,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the LAST element of each query is a
+    prefix; a doc matches where the complete terms appear consecutively
+    followed by ANY dictionary term in the prefix's capped expansion.
+    Returns (query_id, doc_id, n_occurrences), overlapping counting.
+
+    Lucene model (MultiPhrasePrefixQuery): the last position accepts
+    the first ``max_expansions`` dictionary terms in term order — a
+    BINDING cap, so a token that carries the prefix but fell outside
+    the expansion does NOT match, and the expansion list itself is what
+    the row-local verify consults (``array_contains``), exactly
+    mirroring the oracle. Candidates: docs containing ALL complete
+    terms and >= 1 expansion term (one postings pass over
+    complete ∪ expanded terms, role-tagged on the broadcast rows);
+    adjacency then verifies row-locally like :func:`phrase_match`.
+    A single-element query degenerates to "any token in the expansion"
+    (ES's prefix-only match_phrase_prefix)."""
+    from .prefix import prefix_expand
+
+    queries = _validated(queries)
+    spark = index.postings.sparkSession
+    expanded = dict(
+        prefix_expand(
+            index, [(qid, p[-1]) for qid, p in queries], max_expansions
+        )
+    )
+    # role-tagged broadcast rows: complete terms and expansion
+    # alternatives share ONE postings pass; n_complete rides every row
+    qt_rows = []
+    for qid, p in queries:
+        complete = p[:-1]
+        for t in set(complete):
+            qt_rows.append((qid, t, 1, 0, len(set(complete))))
+        for t in expanded[qid]:
+            qt_rows.append((qid, t, 0, 1, len(set(complete))))
+    if not qt_rows or all(r[3] == 0 for r in qt_rows):
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_occurrences long"
+        )
+    qt = spark.createDataFrame(
+        qt_rows, "query_id long, term string, is_complete int, is_alt int, n_complete int"
+    )
+    terms = sorted({r[1] for r in qt_rows})
+    cand = (
+        _term_doc_pairs(index, terms)
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("is_complete").alias("_nc"),
+            F.sum("is_alt").alias("_na"),
+            F.min("n_complete").alias("_need"),
+        )
+        .filter((F.col("_nc") == F.col("_need")) & (F.col("_na") >= 1))
+        .select("query_id", "doc_id")
+    )
+    if index.tombstones is not None:
+        cand = cand.join(index.tombstones, "doc_id", "left_anti")
+    payload = spark.createDataFrame(
+        [(qid, p[:-1], expanded[qid]) for qid, p in queries],
+        "query_id long, phrase array<string>, alts array<string>",
+    )
+    docs = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    )
+    toks, phrase, alts = F.col("_toks"), F.col("phrase"), F.col("alts")
+    occ = F.when(
+        F.size(toks) > F.size(phrase),
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks) - F.size(phrase)),
+                lambda i: (F.slice(toks, i, F.size(phrase)) == phrase)
+                & F.array_contains(alts, F.element_at(toks, i + F.size(phrase))),
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        cand.join(docs, "doc_id")
+        .join(F.broadcast(payload), "query_id")
+        .select("query_id", "doc_id", occ.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 def phrase_topk(
     index: InvertedIndex,
     corpus: DataFrame,

@@ -168,3 +168,63 @@ def test_prefix_topk_all_zero_match(index):
     df = prefix_topk(index, [(0, "zz"), (1, "xx")], k=5)
     assert df.count() == 0
     assert df.columns == ["query_id", "doc_id", "score", "rank"]
+
+
+# --- match_phrase_prefix ----------------------------------------------------
+
+
+def test_phrase_prefix_basic_and_single_prefix(index, corpus):
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_prefix_match
+
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_prefix_match(
+            index,
+            corpus,
+            [(0, ["quick", "br"]), (1, ["qu"]), (2, ["the", "qu"])],
+        ).collect()
+    }
+    assert got == {
+        (0, 0): 1,
+        (0, 1): 2,            # 'quick brown' twice in doc 1
+        (1, 0): 1, (1, 1): 2, (1, 2): 1, (1, 4): 1,  # prefix-only query
+        (2, 0): 1, (2, 4): 1,  # 'the quick'
+    }
+
+
+def test_phrase_prefix_cap_binds(index, corpus):
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_prefix_match
+
+    # expansion of 's': ['shoes', 'stacked'] in term order; cap=1 keeps
+    # only 'shoes', so doc 3 ('stacked') must NOT match under the cap
+    capped = {
+        r["doc_id"]
+        for r in phrase_prefix_match(index, corpus, [(0, ["s"])], max_expansions=1).collect()
+    }
+    full = {
+        r["doc_id"]
+        for r in phrase_prefix_match(index, corpus, [(0, ["s"])]).collect()
+    }
+    assert capped == {1} and full == {1, 3}
+
+
+def test_phrase_prefix_unknown_and_validation(index, corpus):
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_prefix_match
+
+    assert phrase_prefix_match(index, corpus, [(0, ["quick", "zz"])]).count() == 0
+    empty = phrase_prefix_match(index, corpus, [(0, ["zz"])])
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "doc_id", "n_occurrences"]
+    with pytest.raises(ValueError):
+        phrase_prefix_match(index, corpus, [(0, [])])
+
+
+def test_phrase_prefix_partitioning_invariant(spark, index, corpus):
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_prefix_match
+
+    qs = [(0, ["quick", "br"]), (1, ["s"])]
+    a = sorted(map(tuple, phrase_prefix_match(index, corpus, qs).collect()))
+    b = sorted(
+        map(tuple, phrase_prefix_match(index, corpus.repartition(7), qs).collect())
+    )
+    assert a == b and a
