@@ -45,6 +45,7 @@ from elasticsearch_approx_plugin_spark.operators.text_analysis import (
     token_count,
     token_count_bpe,
 )
+from elasticsearch_approx_plugin_spark.operators.wildcard import to_like
 from elasticsearch_approx_plugin_spark.sources.corpus import generate_corpus
 
 BM25_QUERIES = [
@@ -56,6 +57,14 @@ BM25_QUERIES = [
 K = 10
 
 PREFIX_QUERIES = [(0, "s"), (1, "ta"), (2, "c"), (3, "zz")]
+
+WILDCARD_QUERIES = [
+    (0, "ta*"),    # prefix-anchored -> pushable scan anchor
+    (1, "s?an"),   # single-char wildcard: scan
+    (2, "*ow"),    # leading wildcard (full dictionary scan, like Lucene);
+                   # 3 matches (row, slow, window) -> cap=2 BINDS
+    (3, "z*z"),    # no match -> no rows
+]
 
 PHRASE_PREFIX_QUERIES = [
     (0, ["table", "ha"]),         # 'table h*' — expansion [hash]
@@ -268,6 +277,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["phrase_prefix_match"] = _phrase_prefix_match
+
+    # wildcard queries (round 6): LIKE-translated capped term-order
+    # expansion (prefix-anchored patterns contribute a pushable scan
+    # anchor; leading wildcards scan the dictionary, Lucene's cost
+    # model) + BM25 over the expanded disjunction. cap=2 binds on '*ow'
+    def _wildcard_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.wildcard import wildcard_topk
+
+        return wildcard_topk(_index(spark, sf), WILDCARD_QUERIES, K, max_expansions=2)
+
+    q["wildcard_topk"] = _wildcard_topk
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1343,6 +1363,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate intersection + row-local window verify, and
         # prefix_topk's capped term-order dictionary expansion.
         "phrase_prefix_match",
+        # round 6 (fifth batch, cont.): wildcard_topk also registers in
+        # the TAIL (full hash oracle, locally sweep-verified): capped
+        # term-order dictionary expansion + score_queries — the same
+        # two mechanisms the window hash-checks via prefix_topk and the
+        # bm25 gates, with only the LIKE translation (unit-tested) new.
+        "wildcard_topk",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1358,7 +1384,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 81, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 82, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1734,6 +1760,35 @@ SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences::BIGINT AS n_occurren
 FROM m WHERE n_occurrences > 0
 """.format(values=_PHRASE_PREFIX_VALUES)
 
+# wildcard expansion (LIKE-translated, first max_expansions=2 in term
+# order) + the _BM25 scoring CTEs over the expanded disjunction
+_WILDCARD_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+p AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{to_like(pat)}')" for qid, pat in WILDCARD_QUERIES)}) AS p(query_id, pat)),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY d.term) AS rn
+    FROM p JOIN dfreq d ON d.term LIKE p.pat ESCAPE '\\'
+  ) WHERE rn <= 2
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
 # phrase-filtered BM25 top-k: the _BM25 scoring CTEs restricted to the
 # phrase match set, summed over the phrase's distinct terms
 _PHRASE_TOPK = f"""
@@ -2085,6 +2140,7 @@ FROM scored QUALIFY rank <= 10
         "fuzzy_topk": _FUZZY_TOPK,
         "bool_msm_topk": _BOOL_MSM_TOPK,
         "phrase_prefix_match": _PHRASE_PREFIX_MATCH,
+        "wildcard_topk": _WILDCARD_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
