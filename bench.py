@@ -311,6 +311,17 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     )
     timings["prefix_topk_3q"] = round(t, 3)
 
+    # fuzzy is the costliest expansion (levenshtein over the whole
+    # dictionary when unanchored) — bench the unanchored worst case
+    from elasticsearch_approx_plugin_spark.operators.fuzzy import fuzzy_topk
+
+    t, _ = _timed(
+        lambda: fuzzy_topk(
+            index, [(0, "tabel"), (1, "dat"), (2, "strem")], 10, fuzziness=2
+        ).count()
+    )
+    timings["fuzzy_topk_3q"] = round(t, 3)
+
     t, _ = _timed(lambda: add_quality_features(docs, "text").count())
     timings["quality_features"] = round(t, 3)
 

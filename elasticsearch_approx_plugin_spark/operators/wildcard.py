@@ -65,16 +65,14 @@ def _validated(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     return [(int(qid), str(p)) for qid, p in queries]
 
 
-def wildcard_expand(
+def _expansion_df(
     index: InvertedIndex,
     queries: list[tuple[int, str]],
-    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
-) -> list[tuple[int, list[str]]]:
-    """Expand each (query_id, pattern): the first ``max_expansions``
-    matching dictionary terms in term order. No-match queries → []."""
-    if max_expansions < 1:
-        raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
-    queries = _validated(queries)
+    max_expansions: int,
+) -> DataFrame:
+    """The capped expansion as a DataFrame (collected by
+    :func:`wildcard_expand`; exposed separately so the plan is
+    auditable)."""
     dictionary = index.dictionary
     prefixes = [literal_prefix(p) for _, p in queries]
     if all(prefixes):
@@ -87,7 +85,7 @@ def wildcard_expand(
         F.when(cond, F.lit(qid).cast("long"))
         for cond, (qid, _) in zip(conds, queries)
     ]
-    matches = (
+    return (
         dictionary.filter(reduce(lambda a, b: a | b, conds))
         .select(
             "term",
@@ -100,8 +98,20 @@ def wildcard_expand(
         )
         .filter(F.col("rn") <= max_expansions)
         .select("query_id", "term")
-        .collect()
     )
+
+
+def wildcard_expand(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> list[tuple[int, list[str]]]:
+    """Expand each (query_id, pattern): the first ``max_expansions``
+    matching dictionary terms in term order. No-match queries → []."""
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
+    queries = _validated(queries)
+    matches = _expansion_df(index, queries, max_expansions).collect()
     out: dict[int, list[str]] = {qid: [] for qid, _ in queries}
     for r in sorted(matches, key=lambda r: (r["query_id"], r["term"])):
         out[int(r["query_id"])].append(r["term"])

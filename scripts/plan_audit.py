@@ -378,6 +378,21 @@ def main() -> None:
         must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 16. wildcard expansion: prefix-anchored patterns contribute a
+    # pushable startswith anchor ahead of the (non-pushable) LIKE;
+    # audited on an anchored batch — a leading-wildcard pattern
+    # correctly forfeits the anchor (Lucene's cost model)
+    from elasticsearch_approx_plugin_spark.operators.wildcard import (
+        _expansion_df as _wc_expansion_df,
+    )
+
+    audit(
+        "wildcard_expansion_anchor",
+        _wc_expansion_df(pidx, [(0, "ta*le"), (1, "sc?n")], 3),
+        must=["PushedFilters: [Or(StringStartsWith(term,ta),StringStartsWith(term,sc))"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "
