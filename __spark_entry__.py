@@ -80,6 +80,21 @@ BOOL_MSM_QUERIES = [
     (3, ["dup", "zzznope"], 2),      # unknown term can never satisfy m=2
 ]
 
+REGEXP_QUERIES = [
+    (0, "ta.le"),        # single-any-char, pushable 'ta' scan anchor
+    (1, "s(can|ort)"),   # alternation: scan, sort ('s' anchor)
+    (2, ".*ow"),         # leading meta: full dictionary scan;
+                         # 3 matches (row, slow, window) -> cap=2 BINDS
+    (3, "zz+x"),         # no match -> no rows
+]
+
+MLT_QUERIES = [
+    (0, "table table hash join join dup"),        # min_term_freq=2 bites
+    (1, "dup dup row row scan"),                  # min_doc_freq=100 bites
+    (2, "a a the the window window stream stream"),  # cap=2 bites
+    (3, "zzz zzz"),                               # unknown -> no rows
+]
+
 FUZZY_QUERIES = [
     (0, "tabel"),   # classic typo: distance 2 to 'table', nothing else
     (1, "dat"),     # 5 dictionary terms within distance 2 -> the cap BINDS
@@ -288,6 +303,35 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wildcard_topk(_index(spark, sf), WILDCARD_QUERIES, K, max_expansions=2)
 
     q["wildcard_topk"] = _wildcard_topk
+
+    # regexp queries (round 6): anchored whole-term RLIKE over the
+    # dictionary (portable Lucene-core syntax only), capped term-order
+    # expansion + BM25 over the expanded disjunction. cap=2 binds on
+    # '.*ow' (row, slow, window); 'ta.le' carries a pushable 'ta' scan
+    # anchor; 'zz+x' matches nothing
+    def _regexp_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.regexp import regexp_topk
+
+        return regexp_topk(_index(spark, sf), REGEXP_QUERIES, K, max_expansions=2)
+
+    q["regexp_topk"] = _regexp_topk
+
+    # more_like_this (round 6): interesting-term selection from the
+    # liked text (tf·idf order, 6-dp rounded, term tie-break) with
+    # min_term_freq=2 / min_doc_freq=100 / max_query_terms=2 each
+    # binding on one query, then plain bool-OR BM25 (ES boost_terms
+    # off). q0: singletons (hash, dup) fail min_term_freq; q1: dup
+    # (df=25) fails min_doc_freq=100; q2: 4 survivors, the cap keeps
+    # the 2 highest-idf; q3: unknown terms -> no rows
+    def _mlt_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.mlt import mlt_topk
+
+        return mlt_topk(
+            _index(spark, sf), MLT_QUERIES, K,
+            max_query_terms=2, min_term_freq=2, min_doc_freq=100,
+        )
+
+    q["mlt_topk"] = _mlt_topk
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1369,6 +1413,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two mechanisms the window hash-checks via prefix_topk and the
         # bm25 gates, with only the LIKE translation (unit-tested) new.
         "wildcard_topk",
+        # round 6 (sixth batch): regexp_topk registers in the TAIL
+        # (full hash oracle, locally sweep-verified): the same capped
+        # term-order expansion + score_queries composition as
+        # wildcard_topk, with only the anchored-RLIKE translation and
+        # the portable-syntax validation (both unit-tested) new.
+        "regexp_topk",
+        # round 6 (sixth batch, cont.): mlt_topk (more_like_this —
+        # tf·idf interesting-term selection is NEW arithmetic, so it
+        # takes an in-window slot); displaced:
+        # - index_dictionary (5 rounds green r1-r5; every in-window
+        #   bm25 gate's 6-dp scores are a strict function of the same
+        #   dictionary df via the idf term, and mlt_topk itself joins
+        #   the dictionary for its selection — df drift breaks both).
+        "index_dictionary",
         "date_facet_distinct_approx",   # covered by date_facet_distinct_approx_check
         "term_list_sampled",            # covered by term_list_sampled_check
         "minhash_lsh_dedup",            # covered by minhash_lsh_check
@@ -1384,7 +1442,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 82, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 84, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1860,6 +1918,79 @@ FROM scores QUALIFY rank <= {K}
 # fuzzy expansion (terms within Levenshtein distance 2, first
 # max_expansions=3 in deterministic (distance, term) order) + the _BM25
 # scoring CTEs over the expanded disjunction
+# regexp expansion: anchored whole-term match, first 2 matching terms
+# in term order per query (the same cap the Spark gate passes)
+_REGEXP_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+p AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '^(?:{pat})$')" for qid, pat in REGEXP_QUERIES)}) AS p(query_id, pat)),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY d.term) AS rn
+    FROM p JOIN dfreq d ON regexp_matches(d.term, p.pat)
+  ) WHERE rn <= 2
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
+# more_like_this: tokenize the liked texts with the engine's own
+# whitespace grammar, apply min_term_freq=2 / min_doc_freq=100, rank
+# by 6-dp-rounded qtf·idf (term tie-break), cap at 2, then the same
+# unboosted BM25 disjunction every bm25 gate uses
+_MLT_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+liked AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, t in MLT_QUERIES)}) AS l(query_id, like_text)),
+ltok AS (
+  SELECT query_id, t.term FROM liked,
+         unnest(string_split_regex(like_text, '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+qtf AS (
+  SELECT query_id, term, count(*)::DOUBLE AS qtf FROM ltok GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT l.query_id, l.term,
+           row_number() OVER (
+             PARTITION BY l.query_id
+             ORDER BY round(l.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) DESC,
+                      l.term) AS rn
+    FROM qtf l JOIN dfreq d USING (term) CROSS JOIN stats s
+    WHERE d.df >= 100
+  ) WHERE rn <= 2
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
 _FUZZY_TOPK = f"""
 WITH tok AS ({_TOK}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
@@ -2141,6 +2272,8 @@ FROM scored QUALIFY rank <= 10
         "bool_msm_topk": _BOOL_MSM_TOPK,
         "phrase_prefix_match": _PHRASE_PREFIX_MATCH,
         "wildcard_topk": _WILDCARD_TOPK,
+        "regexp_topk": _REGEXP_TOPK,
+        "mlt_topk": _MLT_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

@@ -393,6 +393,39 @@ def main() -> None:
         must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 17. regexp expansion: the literal-prefix scan anchor must reach
+    # the persisted dictionary's parquet scan (RLIKE itself is not
+    # pushable — the anchor is the automaton common-prefix seek analog);
+    # no Python node, no product
+    from elasticsearch_approx_plugin_spark.operators.regexp import (
+        _expansion_df as _re_expansion_df,
+    )
+
+    audit(
+        "regexp_expansion_anchor",
+        _re_expansion_df(pidx, [(0, "ta.le"), (1, "sc(a|u)n")], 3),
+        must=["PushedFilters: [Or(StringStartsWith(term,ta),StringStartsWith(term,sc))"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 18. more_like_this selection: the tiny liked-term table must
+    # broadcast INTO the dictionary join (never shuffle the dictionary
+    # by term), and the whole selection stays JVM-side
+    from elasticsearch_approx_plugin_spark.operators.mlt import _selection_df
+
+    audit(
+        "mlt_selection_broadcast",
+        _selection_df(
+            pidx, [(0, "table table hash hash")],
+            max_query_terms=2, min_term_freq=2, min_doc_freq=1,
+        ),
+        must=["BroadcastHashJoin"],
+        must_not=[
+            "SortMergeJoin", "CartesianProduct",
+            "BatchEvalPython", "ArrowEvalPython",
+        ],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "
