@@ -880,6 +880,23 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_chunk"] = _token_chunk
 
+    # cross-document sequence packing (round 6): bucketed
+    # concat-and-chunk — md5-bucket streams, window cumsum offsets,
+    # span explode; interior sequences exactly seq_len. seq_len=32
+    # makes most docs straddle a cut; n_buckets=8 keeps several docs
+    # per bucket so the cumsum path is exercised
+    def _pack_sequences(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.size(tokenize_ws("text")).alias("n_tokens")
+        )
+        return pack_sequences(docs, seq_len=32, n_buckets=8)
+
+    q["pack_sequences"] = _pack_sequences
+
     # -- semantic checks for the approximate operators -----------------------
     # Each approximate/no-oracle operator also ships a CHECK gate: the
     # operator runs for real, its semantic contract (subset of the
@@ -1419,6 +1436,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard_topk, with only the anchored-RLIKE translation and
         # the portable-syntax validation (both unit-tested) new.
         "regexp_topk",
+        # round 6 (seventh batch): pack_sequences (cross-document
+        # concat-and-chunk — window-cumsum span arithmetic is NEW, so
+        # it takes an in-window slot); displaced:
+        # - date_facet_counting (5 rounds green r1-r5; the in-window
+        #   date_facet_sliced / _nested / _array_key / _rollup_totals
+        #   gates run the identical bucket-count machinery over the
+        #   same events table with strictly more dimensions, and the
+        #   hour/TimeValue span grammar keeps sweep-verified tail
+        #   twins _24h and _hour_offset).
+        "date_facet_counting",
         # round 6 (sixth batch, cont.): mlt_topk (more_like_this —
         # tf·idf interesting-term selection is NEW arithmetic, so it
         # takes an in-window slot); displaced:
@@ -1442,7 +1469,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 84, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 85, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1739,6 +1766,31 @@ WITH s0 AS (
     cols = ", ".join(f"n_{k}::BIGINT AS n_{k}" for k in PII_PATTERNS)
     return sql + f"\nSELECT doc_id, text AS text_redacted, {cols} FROM {prev}"
 
+
+# pack_sequences: the identical md5-bucket + window-cumsum + span
+# arithmetic, recomputed end-to-end by DuckDB
+_PACK_SEQUENCES = """
+WITH n AS (
+  SELECT doc_id, count(*)::BIGINT AS n
+  FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(term)
+  WHERE t.term <> '' GROUP BY 1
+), b AS (
+  SELECT doc_id, n,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT % 8)::BIGINT AS bucket
+  FROM n
+), o AS (
+  SELECT doc_id, n, bucket,
+         coalesce(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS off
+  FROM b
+)
+SELECT bucket, s.seq_id::BIGINT AS seq_id, doc_id,
+       greatest(0, s.seq_id * 32 - off)::BIGINT AS start_in_doc,
+       (least(n, (s.seq_id + 1) * 32 - off)
+        - greatest(0, s.seq_id * 32 - off))::BIGINT AS n_toks
+FROM o, unnest(generate_series(off // 32, (off + n - 1) // 32)) AS s(seq_id)
+"""
 
 _TOKEN_CHUNK = """
 WITH toks AS (
@@ -2265,6 +2317,7 @@ FROM scored QUALIFY rank <= 10
         "stratified_sample": _STRATIFIED_SAMPLE,
         "pii_redact": _pii_sql(),
         "token_chunk": _TOKEN_CHUNK,
+        "pack_sequences": _PACK_SEQUENCES,
         "phrase_match": _PHRASE_MATCH,
         "phrase_topk": _PHRASE_TOPK,
         "prefix_topk": _PREFIX_TOPK,

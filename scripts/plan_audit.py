@@ -426,6 +426,27 @@ def main() -> None:
         ],
     )
 
+    # 19. sequence packing: exactly ONE exchange (the window's
+    # partitionBy bucket — uniform md5 keys by construction), a Window
+    # + Generate pipeline, zero Python
+    from elasticsearch_approx_plugin_spark.operators.packing import pack_sequences
+
+    pack_plan_df = pack_sequences(
+        docs.select("doc_id", F.size(tokenize_ws("text")).alias("n_tokens")),
+        seq_len=32,
+        n_buckets=8,
+    )
+    pack_plan = formatted(pack_plan_df)
+    audit(
+        "pack_sequences_single_shuffle",
+        pack_plan_df,
+        must=["Window", "Generate"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    n_exchanges = pack_plan.count(") Exchange")
+    if n_exchanges > 1:
+        failures.append(f"pack_sequences: {n_exchanges} exchanges (want 1)")
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "

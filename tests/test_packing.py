@@ -1,0 +1,83 @@
+"""Cross-document sequence packing: bucketed concat-and-chunk. Every
+token lands in exactly one (sequence, position); interior sequences
+are exactly seq_len; the assignment is a pure function of (id, seed)
+so it survives any repartitioning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_approx_plugin_spark.operators.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # token counts chosen to straddle seq_len=8 cuts in every way:
+    # shorter, exact, longer-than-one-sequence, zero (dropped)
+    rows = [(i, n) for i, n in enumerate([3, 8, 13, 1, 0, 20, 5, 7, 2, 9])]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def _collect(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_no_token_lost_and_no_overlap(docs):
+    out = pack_sequences(docs, seq_len=8, n_buckets=4).cache()
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id").agg(F.sum("n_toks").alias("s")).collect()
+    }
+    want = {r["doc_id"]: r["n_tokens"] for r in docs.filter("n_tokens > 0").collect()}
+    assert per_doc == want
+    # spans within a doc tile [0, n) without gaps or overlaps
+    for r in (
+        out.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("start_in_doc", "n_toks"))).alias("v"))
+        .collect()
+    ):
+        pos = 0
+        for span in r["v"]:
+            assert span["start_in_doc"] == pos
+            pos += span["n_toks"]
+
+
+def test_interior_sequences_exact_and_final_short(docs):
+    out = pack_sequences(docs, seq_len=8, n_buckets=2).cache()
+    seqs = {
+        (r["bucket"], r["seq_id"]): r["s"]
+        for r in out.groupBy("bucket", "seq_id").agg(F.sum("n_toks").alias("s")).collect()
+    }
+    last = {}
+    for (b, s), _ in seqs.items():
+        last[b] = max(last.get(b, -1), s)
+    for (b, s), total in seqs.items():
+        if s == last[b]:
+            assert 1 <= total <= 8  # the bucket's final (possibly short)
+        else:
+            assert total == 8  # interior sequences are exactly seq_len
+    # seq_ids are contiguous from 0 per bucket
+    for b in last:
+        got = sorted(s for (bb, s) in seqs if bb == b)
+        assert got == list(range(last[b] + 1))
+
+
+def test_long_doc_spans_multiple_sequences(spark):
+    one = spark.createDataFrame([(7, 20)], "doc_id long, n_tokens long")
+    out = _collect(pack_sequences(one, seq_len=8, n_buckets=1))
+    # 20 tokens from offset 0: seqs 0,1,2 with spans 8,8,4
+    assert [(r[1], r[3], r[4]) for r in out] == [(0, 0, 8), (1, 8, 8), (2, 16, 4)]
+
+
+def test_partitioning_invariance_and_determinism(docs):
+    a = _collect(pack_sequences(docs, seq_len=8, n_buckets=4))
+    b = _collect(pack_sequences(docs.repartition(13), seq_len=8, n_buckets=4))
+    assert a == b and a
+    c = _collect(pack_sequences(docs, seq_len=8, n_buckets=4, seed=43))
+    assert c != a  # the seed re-streams the corpus
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=8, n_buckets=0)
