@@ -333,6 +333,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mlt_topk"] = _mlt_topk
 
+    # highlighting (round 6): first-whole-word-match-anchored snippet
+    # over the BM25 top-k, whole-word <em> wrapping in sorted term
+    # order; scores/ranks identical to score_queries
+    def _highlight_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.highlight import (
+            highlight_topk,
+        )
+
+        return highlight_topk(
+            _index(spark, sf), _docs(spark, sf), BM25_QUERIES, K, frag_size=60
+        )
+
+    q["highlight_topk"] = _highlight_topk
+
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "hour"
@@ -1436,6 +1450,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard_topk, with only the anchored-RLIKE translation and
         # the portable-syntax validation (both unit-tested) new.
         "regexp_topk",
+        # round 6 (seventh batch): highlight_topk registers in the
+        # TAIL (full hash oracle, locally sweep-verified): its
+        # scores/ranks are the in-window bm25_topk's own output
+        # joined to the stored text, and the snippet extraction
+        # (first-whole-word anchor + sorted replace chain) is
+        # unit-tested string arithmetic the oracle recomputes
+        # verbatim.
+        "highlight_topk",
         # round 6 (seventh batch): pack_sequences (cross-document
         # concat-and-chunk — window-cumsum span arithmetic is NEW, so
         # it takes an in-window slot); displaced:
@@ -1469,7 +1491,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 85, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 86, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1970,6 +1992,27 @@ FROM scores QUALIFY rank <= {K}
 # fuzzy expansion (terms within Levenshtein distance 2, first
 # max_expansions=3 in deterministic (distance, term) order) + the _BM25
 # scoring CTEs over the expanded disjunction
+def _highlight_case(frag_size: int) -> str:
+    """Per-query snippet expression: the same first-whole-word-match
+    anchor + sorted-term replace chain the Spark operator builds."""
+    branches = []
+    for qid, ts in BM25_QUERIES:
+        terms = sorted(set(ts))
+        poss = [f"nullif(strpos(padded, ' {t} '), 0)" for t in terms]
+        pos = f"least({', '.join(poss)})" if len(poss) > 1 else poss[0]
+        snip = f"substr(padded, {pos}, {frag_size})"
+        for t in terms:
+            snip = f"replace({snip}, ' {t} ', ' <em>{t}</em> ')"
+        branches.append(f"WHEN {qid} THEN trim({snip})")
+    return "CASE query_id " + " ".join(branches) + " END"
+
+
+_HIGHLIGHT_TOPK = f"""
+WITH pd AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)
+SELECT query_id, doc_id, score, rank, {_highlight_case(60)} AS snippet
+FROM ({_BM25}) s JOIN pd USING (doc_id)
+"""
+
 # regexp expansion: anchored whole-term match, first 2 matching terms
 # in term order per query (the same cap the Spark gate passes)
 _REGEXP_TOPK = f"""
@@ -2327,6 +2370,7 @@ FROM scored QUALIFY rank <= 10
         "wildcard_topk": _WILDCARD_TOPK,
         "regexp_topk": _REGEXP_TOPK,
         "mlt_topk": _MLT_TOPK,
+        "highlight_topk": _HIGHLIGHT_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
