@@ -1258,6 +1258,58 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup_windowed"] = _streaming_dedup_windowed
 
+    # streaming index ingestion (round 6): three ordered micro-batches
+    # (doc_id mod 3 slices of the first 300 docs) drive the foreachBatch
+    # sink — bootstrap build + two incremental appends — and the
+    # stream-built persisted index must score BM25 bit-identically to
+    # the oracle over the concatenated corpus. Results are q·k-bounded,
+    # so they collect locally and the temp index is removed eagerly.
+    def _streaming_index_bm25(spark, sf):
+        import glob as _glob
+        import os as _os
+        import shutil
+        import tempfile
+
+        from elasticsearch_approx_plugin_spark.operators.postings import read_index
+        from elasticsearch_approx_plugin_spark.streaming.indexing import (
+            streaming_index,
+        )
+
+        docs = _tokens(spark, sf).filter("doc_id < 300")
+        tmp = tempfile.mkdtemp(prefix="gate_sidx_")
+        src = _os.path.join(tmp, "src")
+        _os.makedirs(src)
+        for i in range(3):
+            bdir = _os.path.join(tmp, f"w{i}")
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(bdir)
+            (part,) = _glob.glob(f"{bdir}/part-*.parquet")
+            dst = _os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(part, dst)
+            _os.utime(dst, (1_600_000_000 + i * 100,) * 2)
+        name = "stream_index_gate"
+        for active in spark.streams.active:
+            if active.name == name:
+                active.stop()
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        idx_path = _os.path.join(tmp, "idx")
+        streaming_index(
+            stream, idx_path, _os.path.join(tmp, "ckpt"),
+            range_bits=9, n_buckets=4, query_name=name,
+        ).awaitTermination()
+        rows = score_queries(
+            read_index(spark, idx_path), BM25_QUERIES, K
+        ).collect()
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double, rank long"
+        )
+
+    q["streaming_index_bm25"] = _streaming_index_bm25
+
     # end-to-end keep-list through the DISTRIBUTED components path
     # (driver_max_pairs=0 forces it): survivors of the near-dup graph
     def _keep_list(spark, sf):
@@ -1450,6 +1502,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard_topk, with only the anchored-RLIKE translation and
         # the portable-syntax validation (both unit-tested) new.
         "regexp_topk",
+        # round 6 (eighth batch): streaming_index_bm25 (continuous
+        # index ingestion via a foreachBatch bootstrap+append sink —
+        # the NEW streaming driver around the batch index machinery)
+        # takes an in-window slot; displaced:
+        # - date_facet_array_key (5 rounds green r1-r5; the in-window
+        #   date_facet_nested gate exercises the same explode lowering
+        #   over array-typed scopes every round, and the sliced gate
+        #   keeps multi-valued decode's grammar sibling in-window).
+        "date_facet_array_key",
         # round 6 (seventh batch): highlight_topk registers in the
         # TAIL (full hash oracle, locally sweep-verified): its
         # scores/ranks are the in-window bm25_topk's own output
@@ -1491,7 +1552,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 86, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 87, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -1992,6 +2053,29 @@ FROM scores QUALIFY rank <= {K}
 # fuzzy expansion (terms within Levenshtein distance 2, first
 # max_expansions=3 in deterministic (distance, term) order) + the _BM25
 # scoring CTEs over the expanded disjunction
+# streaming index ingestion: the stream-built index must equal plain
+# BM25 over the concatenated corpus (here: the first 300 docs)
+_STREAMING_INDEX_BM25 = f"""
+WITH tok AS (SELECT * FROM ({_TOK}) WHERE doc_id < 300),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in sorted(set(ts)))}) AS q(query_id, term)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+"""
+
+
 def _highlight_case(frag_size: int) -> str:
     """Per-query snippet expression: the same first-whole-word-match
     anchor + sorted-term replace chain the Spark operator builds."""
@@ -2371,6 +2455,7 @@ FROM scored QUALIFY rank <= 10
         "regexp_topk": _REGEXP_TOPK,
         "mlt_topk": _MLT_TOPK,
         "highlight_topk": _HIGHLIGHT_TOPK,
+        "streaming_index_bm25": _STREAMING_INDEX_BM25,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
