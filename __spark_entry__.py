@@ -347,6 +347,24 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight_topk"] = _highlight_topk
 
+    # _search request replay (round 6): match-OR analysis → BM25,
+    # ES-style from/size pagination AFTER ranking, highlight block
+    # riding the hits — the dispatcher composing the query surface
+    def _search_request_hits(spark, sf):
+        from elasticsearch_approx_plugin_spark.plans.search import search_topk
+
+        request = {
+            "query": {"match": {"text": "hash join scan"}},
+            "from": 2,
+            "size": 10,
+            "highlight": {"fragment_size": 60},
+        }
+        return search_topk(
+            _index(spark, sf), request, docs=_docs(spark, sf)
+        )
+
+    q["search_request_hits"] = _search_request_hits
+
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "hour"
@@ -1502,6 +1520,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard_topk, with only the anchored-RLIKE translation and
         # the portable-syntax validation (both unit-tested) new.
         "regexp_topk",
+        # round 6 (eighth batch): search_request_hits registers in the
+        # TAIL (full hash oracle, locally sweep-verified): the _search
+        # dispatcher composes mechanisms the window already hash-checks
+        # — match-OR analysis feeds the in-window bm25_topk scorer, and
+        # the pagination/snippet arithmetic is unit-tested
+        # (test_search_request.py) and oracle-recomputed verbatim.
+        "search_request_hits",
         # round 6 (eighth batch): streaming_index_bm25 (continuous
         # index ingestion via a foreachBatch bootstrap+append sink —
         # the NEW streaming driver around the batch index machinery)
@@ -1552,7 +1577,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 87, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 88, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2076,6 +2101,41 @@ FROM scores QUALIFY rank <= {K}
 """
 
 
+# _search replay: single match-OR query (hash join scan), rank window
+# (2, 12], snippet = the same anchor + sorted replace chain
+_SEARCH_TERMS = ["hash", "join", "scan"]
+_SEARCH_SNIPPET = "substr(padded, least({poss}), 60)".format(
+    poss=", ".join(f"nullif(strpos(padded, ' {t} '), 0)" for t in sorted(_SEARCH_TERMS))
+)
+for _t in sorted(_SEARCH_TERMS):
+    _SEARCH_SNIPPET = f"replace({_SEARCH_SNIPPET}, ' {_t} ', ' <em>{_t}</em> ')"
+_SEARCH_REQUEST_HITS = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in sorted(_SEARCH_TERMS))}) AS q(term)),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1
+),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+),
+pd AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)
+SELECT doc_id, score, rank, trim({_SEARCH_SNIPPET}) AS snippet
+FROM ranked JOIN pd USING (doc_id)
+WHERE rank > 2 AND rank <= 12
+"""
+
+
 def _highlight_case(frag_size: int) -> str:
     """Per-query snippet expression: the same first-whole-word-match
     anchor + sorted-term replace chain the Spark operator builds."""
@@ -2456,6 +2516,7 @@ FROM scored QUALIFY rank <= 10
         "mlt_topk": _MLT_TOPK,
         "highlight_topk": _HIGHLIGHT_TOPK,
         "streaming_index_bm25": _STREAMING_INDEX_BM25,
+        "search_request_hits": _SEARCH_REQUEST_HITS,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

@@ -1,3 +1,4 @@
 from .facet_query import DateFacetQuery, TermListQuery, TopKQuery
+from .search import search_topk
 
-__all__ = ["DateFacetQuery", "TermListQuery", "TopKQuery"]
+__all__ = ["DateFacetQuery", "TermListQuery", "TopKQuery", "search_topk"]
