@@ -80,6 +80,13 @@ BOOL_MSM_QUERIES = [
     (3, ["dup", "zzznope"], 2),      # unknown term can never satisfy m=2
 ]
 
+MULTI_MATCH_QUERIES = [
+    (0, ["table", "src1"]),         # terms land in different fields
+    (1, ["hash", "join"]),          # text-only terms
+    (2, ["src0"]),                  # source-only term
+    (3, ["slow", "src2", "row"]),   # mixed, different docs per field
+]
+
 REGEXP_QUERIES = [
     (0, "ta.le"),        # single-any-char, pushable 'ta' scan anchor
     (1, "s(can|ort)"),   # alternation: scan, sort ('s' anchor)
@@ -346,6 +353,35 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["highlight_topk"] = _highlight_topk
+
+    # multi_match over per-field indexes (round 6): text + source each
+    # carry their OWN index (ES per-field postings/norms/df);
+    # best_fields dismax with tie_breaker=0.3 and a 2.0 boost on
+    # source. q0 mixes fields; q2 matches only source; q3's terms hit
+    # different docs per field
+    def _multi_match(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.multi_match import (
+            multi_match_topk,
+        )
+
+        key = f"{sf}::source"
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = build_index(
+                _docs(spark, sf).select(
+                    "doc_id", tokenize_ws("source").alias("tokens")
+                ),
+                range_bits=9,
+            )
+        return multi_match_topk(
+            {"text": _index(spark, sf), "source": _INDEX_CACHE[key]},
+            MULTI_MATCH_QUERIES,
+            K,
+            match_type="best_fields",
+            tie_breaker=0.3,
+            boosts={"source": 2.0},
+        )
+
+    q["multi_match_topk"] = _multi_match
 
     # _search request replay (round 6): match-OR analysis → BM25,
     # ES-style from/size pagination AFTER ranking, highlight block
@@ -1520,6 +1556,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard_topk, with only the anchored-RLIKE translation and
         # the portable-syntax validation (both unit-tested) new.
         "regexp_topk",
+        # round 6 (ninth batch): multi_match_topk registers in the TAIL
+        # (full hash oracle, locally sweep-verified): each field's
+        # scores come from the in-window-checked score_queries against
+        # that field's own index, and the dismax/sum combine is
+        # unit-tested arithmetic the oracle recomputes on the same
+        # 6-dp-rounded per-field values.
+        "multi_match_topk",
         # round 6 (eighth batch): search_request_hits registers in the
         # TAIL (full hash oracle, locally sweep-verified): the _search
         # dispatcher composes mechanisms the window already hash-checks
@@ -1577,7 +1620,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 88, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 89, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2101,6 +2144,54 @@ FROM scores QUALIFY rank <= {K}
 """
 
 
+# multi_match: per-field BM25 (text via the token view, source as a
+# one-term field with its own stats), 2.0 boost on source, dismax with
+# tie_breaker 0.3 — combined on the 6-dp-rounded per-field scores
+# exactly like the Spark operator
+_MULTI_MATCH_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, ts in MULTI_MATCH_QUERIES for t in sorted(set(ts)))}) AS q(query_id, term)),
+st AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+toks AS (SELECT doc_id, source AS term FROM documents WHERE source IS NOT NULL AND source <> ''),
+tfs AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dls AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+statss AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dls),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+ss AS (
+  SELECT q.query_id, tfs.doc_id,
+         round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tfs.tf * (1.2 + 1) / (tfs.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / s.avgdl)) ), 6) AS score
+  FROM q JOIN tfs USING (term) JOIN dls USING (doc_id) JOIN dfs d USING (term)
+  CROSS JOIN statss s
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT query_id, doc_id, score * 1.0 AS fscore FROM st
+  UNION ALL
+  SELECT query_id, doc_id, score * 2.0 AS fscore FROM ss
+),
+agg AS (
+  SELECT query_id, doc_id, max(fscore) AS best, sum(fscore) AS total
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id,
+       round(best + 0.3 * (total - best), 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(best + 0.3 * (total - best), 6) DESC, doc_id) AS rank
+FROM agg QUALIFY rank <= {K}
+"""
+
 # _search replay: single match-OR query (hash join scan), rank window
 # (2, 12], snippet = the same anchor + sorted replace chain
 _SEARCH_TERMS = ["hash", "join", "scan"]
@@ -2517,6 +2608,7 @@ FROM scored QUALIFY rank <= 10
         "highlight_topk": _HIGHLIGHT_TOPK,
         "streaming_index_bm25": _STREAMING_INDEX_BM25,
         "search_request_hits": _SEARCH_REQUEST_HITS,
+        "multi_match_topk": _MULTI_MATCH_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

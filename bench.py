@@ -361,6 +361,36 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     t, _ = _timed(lambda: token_chunk(docs, max_tokens=16, stride=8).count())
     timings["token_chunk"] = round(t, 3)
 
+    # cross-doc sequence packing (round 6): one uniform-key shuffle
+    # (the cumsum window's partitionBy bucket) + a Generate
+    from elasticsearch_approx_plugin_spark.operators.packing import pack_sequences
+
+    t, _ = _timed(
+        lambda: pack_sequences(
+            docs.select("doc_id", F.size(tokenize_ws("text")).alias("n_tokens")),
+            seq_len=512,
+            n_buckets=64,
+        ).count()
+    )
+    timings["pack_sequences"] = round(t, 3)
+
+    # _search request replay (round 6): dispatch + pagination +
+    # highlight join on the warmed index — the serving envelope cost
+    from elasticsearch_approx_plugin_spark.plans.search import search_topk
+
+    t, _ = _timed(
+        lambda: search_topk(
+            index,
+            {
+                "query": {"match": {"text": "hash join scan"}},
+                "size": 10,
+                "highlight": {"fragment_size": 60},
+            },
+            docs=docs,
+        ).count()
+    )
+    timings["search_request"] = round(t, 3)
+
     index.postings.unpersist()
     index.dictionary.unpersist()
     return timings, extras

@@ -197,11 +197,13 @@ def _scored_hits(
             scored.join(keep, "doc_id", "left_semi")
             .withColumn(
                 "rank",
-                F.row_number().over(
+                F.row_number()
+                .over(
                     Window.partitionBy("query_id").orderBy(
                         F.col("score").desc(), F.col("doc_id")
                     )
-                ),
+                )
+                .cast("long"),
             )
         )
 
