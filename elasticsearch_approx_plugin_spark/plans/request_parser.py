@@ -95,12 +95,14 @@ def parse_term_list(clause: dict[str, Any], mode: str = "collector") -> TermList
 def lower_filter(clause: dict[str, Any]) -> Column:
     """Lower an ES filter DSL clause to a Spark ``Column`` predicate.
 
-    Covers exactly the shapes the reference's own tests put in
+    Covers the shapes the reference's own tests put in
     ``facet_filter`` (``RandomizedApproxReadWriteTest.java:550-561``
     numeric range from/to, ``CountingQueryResultChecker.java:158-164``
     bool>range with includeUpper(false), ``SlicedQueryResultChecker.
-    java:55`` bool>exists, plus the ubiquitous term and match_all) —
-    anything else raises so nothing is silently dropped.
+    java:55`` bool>exists, plus the ubiquitous term and match_all) and
+    the rest of the everyday ES 0.90 filter surface — ``missing``
+    (null-field twin of exists), ``ids``, ``prefix`` — anything else
+    raises so nothing is silently dropped.
 
     Null semantics follow ES: a filter never matches a document whose
     field is missing, and ``must_not`` DOES match such documents (the
@@ -152,6 +154,25 @@ def lower_filter(clause: dict[str, Any]) -> Column:
         if unknown:
             raise ValueError(f"exists filter: unsupported key(s) {sorted(unknown)}")
         return F.col(body["field"]).isNotNull()
+    if kind == "missing":
+        # ES 0.90 MissingFilter (existence=true, null_value=false
+        # defaults): matches docs where the field is absent/null
+        unknown = set(body) - {"field"}
+        if unknown:
+            raise ValueError(f"missing filter: unsupported key(s) {sorted(unknown)}")
+        return F.col(body["field"]).isNull()
+    if kind == "ids":
+        # ES IdsFilter; the _type list is 0.90 noise with one doc type
+        unknown = set(body) - {"values", "type"}
+        if unknown:
+            raise ValueError(f"ids filter: unsupported key(s) {sorted(unknown)}")
+        values = body["values"]
+        if not isinstance(values, list) or not values:
+            raise ValueError("ids filter requires a non-empty values list")
+        return F.col("doc_id").isin(values)
+    if kind == "prefix":
+        (fld, val), = body.items()
+        return F.col(fld).startswith(str(val))
     if kind == "bool":
         def aslist(x):
             return x if isinstance(x, list) else [x]
@@ -173,7 +194,7 @@ def lower_filter(clause: dict[str, Any]) -> Column:
         return pred
     raise ValueError(
         f"unsupported filter type {kind!r} (supported: range/numeric_range, "
-        "term, exists, bool, match_all — the shapes the reference's tests emit)"
+        "term, exists, missing, ids, prefix, bool, match_all)"
     )
 
 
@@ -239,12 +260,14 @@ def lower_query(clause: dict[str, Any]) -> Column | None:
                 "in filter context — use filtered/constant_score to pick semantics"
             )
         return lower_filter(clause)
-    if kind in ("range", "numeric_range", "term", "exists"):
+    if kind in ("range", "numeric_range", "term", "exists", "ids", "prefix"):
+        # each of these query types matches the same documents as its
+        # filter twin; only scoring differs, and facets ignore scores
         return lower_filter(clause)
     raise ValueError(
         f"unsupported query type {kind!r}: scored queries have no filter semantics "
         "(supported: match_all, filtered, constant_score, and the bare filter "
-        "shapes range/numeric_range/term/exists/bool)"
+        "shapes range/numeric_range/term/exists/ids/prefix/bool)"
     )
 
 

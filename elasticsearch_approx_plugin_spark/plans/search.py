@@ -158,6 +158,19 @@ def _scored_hits(
             prune=prune,
         )
 
+    if kind == "terms":
+        # ES terms query: bool-OR over the listed terms; 0.90's
+        # minimum_match knob maps to minimum_should_match
+        body = dict(body)
+        mm = int(body.pop("minimum_match", body.pop("minimum_should_match", 1)))
+        fld, vals = _field_body(body, "terms")
+        if not isinstance(vals, list) or not vals:
+            raise ValueError("terms query requires a non-empty term list")
+        terms = [str(v) for v in vals]
+        if mm > 1:
+            return bool_should_topk(index, [(0, terms, mm)], k, prune=prune)
+        return score_queries(index, [(0, terms)], k, prune=prune)
+
     if kind == "bool":
         unknown = set(body) - {"should", "minimum_should_match"}
         if unknown:
@@ -209,7 +222,8 @@ def _scored_hits(
 
     raise ValueError(
         f"unsupported search query type {kind!r} (supported: match, match_phrase, "
-        "prefix, fuzzy, wildcard, regexp, more_like_this, bool-should, filtered)"
+        "terms, prefix, fuzzy, wildcard, regexp, more_like_this, bool-should, "
+        "filtered)"
     )
 
 

@@ -256,8 +256,21 @@ def test_facet_filter_replay(spark):
     with pytest.raises(ValueError, match="no bounds"):
         run({"range": {"val": {"from": None, "to": None}}})
 
+    # round 6: missing / ids / prefix filters (ES 0.90 surface)
+    assert len(run({"missing": {"field": "user"}})) == 2  # i ∈ {8, 9}
+    assert len(run({"prefix": {"user": "u"}})) == 8
+    # the ids filter keys on doc_id; this frame has none — build one
+    df_ids = df.withColumn("doc_id", F.col("val") / 10)
+    (_, q_ids), = parse_request(
+        {"facets": {"h": {"date_facet": {"key_field": "datetime",
+                                         "interval": "hour"},
+                          "facet_filter": {"ids": {"values": [0, 3, 9]}}}}}
+    ).items()
+    assert len(q_ids.run(df_ids).collect()) == 3
+    with pytest.raises(ValueError, match="non-empty values"):
+        run({"ids": {"values": []}})
     with pytest.raises(ValueError, match="unsupported filter type"):
-        run({"prefix": {"user": "u"}})
+        run({"script": {"script": "1 == 1"}})
     with pytest.raises(ValueError, match="no bounds"):
         run({"range": {"val": {}}})
     with pytest.raises(ValueError, match="exists filter"):

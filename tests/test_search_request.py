@@ -83,6 +83,23 @@ def test_expansion_types_dispatch(index, tokens):
         assert out.count() > 0, clause
 
 
+def test_terms_query(index):
+    # terms = bool-OR of the listed terms; minimum_match maps to msm
+    got = _rows(search_topk(index, {"query": {"terms": {"text": ["table", "join"]}}}))
+    want = _rows(score_queries(index, [(0, ["table", "join"])], 10).drop("query_id"))
+    assert got == want and got
+    gated = _rows(
+        search_topk(
+            index,
+            {"query": {"terms": {"text": ["table", "join"], "minimum_match": 2}}},
+        )
+    )
+    want2 = _rows(bool_should_topk(index, [(0, ["table", "join"], 2)], 10).drop("query_id"))
+    assert gated == want2
+    with pytest.raises(ValueError):
+        search_topk(index, {"query": {"terms": {"text": []}}})
+
+
 def test_pagination(index):
     full = _rows(search_topk(index, {"query": {"match": {"text": "table join"}}}))
     page = _rows(
