@@ -447,6 +447,52 @@ def main() -> None:
     if n_exchanges > 1:
         failures.append(f"pack_sequences: {n_exchanges} exchanges (want 1)")
 
+    # 20. multi_match: per-field scoring unions into ONE aggregation
+    # keyed (query_id, doc_id) — no join between the field results, no
+    # Python beyond the scorers' own Arrow passes
+    from elasticsearch_approx_plugin_spark.operators.multi_match import (
+        multi_match_topk,
+    )
+
+    src_idx = build_index(
+        docs.select("doc_id", tokenize_ws("source").alias("tokens")), range_bits=9
+    )
+    audit(
+        "multi_match_union_aggregate",
+        multi_match_topk(
+            {"text": pidx, "source": src_idx},
+            [(0, ["table", "src1"])],
+            10,
+            tie_breaker=0.3,
+        ),
+        must=["Union", "HashAggregate"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    )
+
+    # 21. _search filtered path: the candidate restriction is a
+    # broadcast-able semi join of the filtered id set against the
+    # scored hits — never a product, never a corpus shuffle
+    from elasticsearch_approx_plugin_spark.plans.search import search_topk
+
+    audit(
+        "search_filtered_semi_join",
+        search_topk(
+            pidx,
+            {
+                "query": {
+                    "filtered": {
+                        "query": {"match": {"text": "table scan"}},
+                        "filter": {"range": {"doc_id": {"gte": 100}}},
+                    }
+                },
+                "size": 10,
+            },
+            docs=docs,
+        ),
+        must=["LeftSemi"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "
