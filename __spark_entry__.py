@@ -794,6 +794,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score",
     )
 
+    # round 6: in-corpus bigram LM scoring (CCNet-style perplexity
+    # filtering without an external model): mean ln of add-0.1-smoothed
+    # P(w2|w1) estimated from the corpus itself, 6-dp rounded
+    def _ngram_lm(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.lm import ngram_lm_score
+
+        return ngram_lm_score(_docs(spark, sf))
+
+    q["ngram_lm_score"] = _ngram_lm
+
     # round 5: composite C4/Gopher-style document FILTER (pass/fail +
     # first-failing-rule reason) — thresholds chosen to discriminate on
     # this corpus (token median 56, stopword ratio 0-0.09), so the gate
@@ -1475,8 +1485,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   embedding_cosine_dedup_lsh_check runs the exhaustive path
         #   every round as its subset ground truth;
         # - fingerprint: md5 + tokenize_ws canonicalization grammar
-        #   stays exercised in-window by dedup_exact (md5 digests) and
-        #   the token-grammar gates.
+        #   stays exercised in-window by the md5-digest gates
+        #   (line_dedup, streaming_dedup_exact — dedup_exact moved to
+        #   the tail in the ninth batch on the strength of the same
+        #   two twins) and the token-grammar gates.
         "ngram_jaccard",
         "embedding_cosine_dedup",
         "fingerprint",
@@ -1556,6 +1568,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard_topk, with only the anchored-RLIKE translation and
         # the portable-syntax validation (both unit-tested) new.
         "regexp_topk",
+        # round 6 (ninth batch): ngram_lm_score (in-corpus bigram LM —
+        # smoothed-conditional-probability arithmetic is NEW) takes an
+        # in-window slot; displaced:
+        # - dedup_exact (5 rounds green r1-r5; TWO strictly harder
+        #   in-window digest twins run every round: line_dedup elects
+        #   winners over md5 line digests plus rebuild, and
+        #   streaming_dedup_exact hash-checks the identical
+        #   md5(text)-digest admitted set across micro-batches).
+        "dedup_exact",
         # round 6 (ninth batch): multi_match_topk registers in the TAIL
         # (full hash oracle, locally sweep-verified): each field's
         # scores come from the in-window-checked score_queries against
@@ -1620,7 +1641,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 89, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 90, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2144,6 +2165,31 @@ FROM scores QUALIFY rank <= {K}
 """
 
 
+# in-corpus bigram LM: identical smoothed-conditional arithmetic,
+# bigrams via positional indexing, heads derived from bigram counts
+_NGRAM_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+), bgc AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2
+), hc AS (
+  SELECT w1, sum(c)::DOUBLE AS c1 FROM bgc GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w)::DOUBLE AS v
+  FROM (SELECT unnest(t) AS w FROM toks)
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln((c + 0.1) / (c1 + 0.1 * v.v))), 6) AS avg_logp
+FROM bg JOIN bgc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN v
+GROUP BY 1
+"""
+
 # multi_match: per-field BM25 (text via the token view, source as a
 # one-term field with its own stats), 2.0 boost on source, dismax with
 # tie_breaker 0.3 — combined on the 6-dp-rounded per-field scores
@@ -2609,6 +2655,7 @@ FROM scored QUALIFY rank <= 10
         "streaming_index_bm25": _STREAMING_INDEX_BM25,
         "search_request_hits": _SEARCH_REQUEST_HITS,
         "multi_match_topk": _MULTI_MATCH_TOPK,
+        "ngram_lm_score": _NGRAM_LM_SCORE,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
