@@ -23,6 +23,8 @@ match``)
 ``more_like_this``    ``mlt.mlt_topk``
 ``bool`` w/ should    ``bm25.bool_should_topk``
 term clauses
+``constant_score``    every filter match scores the boost (needs
+                      ``docs``)
 ``filtered``          inner scored query, hit set intersected with
                       ``lower_filter`` evaluated on ``docs``
 ====================  =================================================
@@ -191,6 +193,33 @@ def _scored_hits(
         m = int(body.get("minimum_should_match", 1))
         return bool_should_topk(index, [(0, terms, m)], k, prune=prune)
 
+    if kind == "constant_score":
+        # every filter-matched doc scores exactly the boost (ES
+        # ConstantScoreQuery); ranks tie-break by doc_id
+        unknown = set(body) - {"filter", "boost"}
+        if unknown:
+            raise ValueError(f"constant_score query: unsupported key(s) {sorted(unknown)}")
+        if "filter" not in body:
+            raise ValueError("constant_score query requires a filter")
+        if docs is None:
+            raise ValueError("constant_score needs the docs DataFrame")
+        boost = round(float(body.get("boost", 1.0)), 6)
+        return (
+            docs.filter(lower_filter(body["filter"]))
+            .select(
+                F.lit(0).cast("long").alias("query_id"),
+                F.col("doc_id"),
+                F.lit(boost).cast("double").alias("score"),
+            )
+            .withColumn(
+                "rank",
+                F.row_number()
+                .over(Window.partitionBy("query_id").orderBy(F.col("doc_id")))
+                .cast("long"),
+            )
+            .filter(F.col("rank") <= k)
+        )
+
     if kind == "filtered":
         unknown = set(body) - {"query", "filter"}
         if unknown:
@@ -223,7 +252,7 @@ def _scored_hits(
     raise ValueError(
         f"unsupported search query type {kind!r} (supported: match, match_phrase, "
         "terms, prefix, fuzzy, wildcard, regexp, more_like_this, bool-should, "
-        "filtered)"
+        "constant_score, filtered)"
     )
 
 

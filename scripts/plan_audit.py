@@ -493,6 +493,26 @@ def main() -> None:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # 22. bigram LM: row-local bigram Generate, count aggregations,
+    # shuffle-or-broadcast count joins; the only nested-loop join is
+    # the deliberate 1-row vocab broadcast — no unbounded product, no
+    # Python
+    from elasticsearch_approx_plugin_spark.operators.lm import ngram_lm_score
+
+    lm_df = ngram_lm_score(docs)
+    audit(
+        "ngram_lm_count_joins",
+        lm_df,
+        must=["Generate", "HashAggregate"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    lm_plan = formatted(lm_df)
+    n_bnlj = lm_plan.count(") BroadcastNestedLoopJoin")
+    if n_bnlj > 1:
+        failures.append(
+            f"ngram_lm: {n_bnlj} nested-loop joins (only the 1-row vocab broadcast is allowed)"
+        )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)", ""]
     out.append(
         "Each section is the `.explain('formatted')` output of a headline "

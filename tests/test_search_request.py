@@ -131,6 +131,28 @@ def test_filtered_reranks_after_filter(index, docs):
     assert out[0][2] == 1  # re-ranked from 1 after the filter
 
 
+def test_constant_score(index, docs):
+    out = _rows(
+        search_topk(
+            index,
+            {
+                "query": {
+                    "constant_score": {
+                        "filter": {"range": {"doc_id": {"gte": 2}}},
+                        "boost": 1.5,
+                    }
+                },
+                "size": 2,
+            },
+            docs=docs,
+        )
+    )
+    # every match scores the boost; ranks tie-break by doc_id; size caps
+    assert out == [(2, 1.5, 1), (3, 1.5, 2)]
+    with pytest.raises(ValueError):
+        search_topk(index, {"query": {"constant_score": {"boost": 2.0}}}, docs=docs)
+
+
 def test_highlight_rides_hits(index, docs):
     out = {
         r["doc_id"]: r["snippet"]
