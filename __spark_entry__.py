@@ -383,6 +383,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multi_match_topk"] = _multi_match
 
+    # query_string (round 6): the Lucene +/-/phrase grammar — a must
+    # PHRASE gates candidacy by adjacency ('table hash' occurs in ~46
+    # docs at sf0.01), 'dup' contributes score as a should term, and
+    # -stream excludes; score = BM25 over the three distinct terms
+    def _query_string(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.query_string import (
+            query_string_topk,
+        )
+
+        return query_string_topk(
+            _index(spark, sf), _tokens(spark, sf), '+"table hash" dup -stream', K
+        )
+
+    q["query_string_topk"] = _query_string
+
     # _search request replay (round 6): match-OR analysis → BM25,
     # ES-style from/size pagination AFTER ranking, highlight block
     # riding the hits — the dispatcher composing the query surface
@@ -1568,6 +1583,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard_topk, with only the anchored-RLIKE translation and
         # the portable-syntax validation (both unit-tested) new.
         "regexp_topk",
+        # round 6 (tenth batch): query_string_topk registers in the
+        # TAIL (full hash oracle, locally sweep-verified): matching
+        # composes three window-checked mechanisms — score_queries
+        # (bm25 gates), must-coverage counting (bool_should via the
+        # in-window bool_msm history + unit tests), and phrase_match
+        # (in-window phrase gates) — with only the +/-/phrase parser
+        # (unit-tested) new.
+        "query_string_topk",
         # round 6 (ninth batch): ngram_lm_score (in-corpus bigram LM —
         # smoothed-conditional-probability arithmetic is NEW) takes an
         # in-window slot; displaced:
@@ -1641,7 +1664,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_factor",            # 3 rounds green
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 90, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 91, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2238,6 +2261,42 @@ SELECT query_id::BIGINT AS query_id, doc_id,
 FROM agg QUALIFY rank <= {K}
 """
 
+# query_string '+"table hash" dup -stream': adjacency-gated candidacy,
+# BM25 over the distinct scoring terms, must_not exclusion
+_QUERY_STRING_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES ('dup'), ('hash'), ('table')) AS q(term)),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1
+),
+toklists AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+ph AS (
+  SELECT doc_id FROM toklists
+  WHERE len(toks) >= 2
+    AND len(list_filter(generate_series(1, len(toks) - 1),
+                        i -> toks[i:i+1] = ['table', 'hash'])) > 0
+),
+excl AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'stream')
+SELECT 0::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores
+WHERE doc_id IN (SELECT doc_id FROM ph)
+  AND doc_id NOT IN (SELECT doc_id FROM excl)
+QUALIFY rank <= {K}
+"""
+
 # _search replay: single match-OR query (hash join scan), rank window
 # (2, 12], snippet = the same anchor + sorted replace chain
 _SEARCH_TERMS = ["hash", "join", "scan"]
@@ -2656,6 +2715,7 @@ FROM scored QUALIFY rank <= 10
         "search_request_hits": _SEARCH_REQUEST_HITS,
         "multi_match_topk": _MULTI_MATCH_TOPK,
         "ngram_lm_score": _NGRAM_LM_SCORE,
+        "query_string_topk": _QUERY_STRING_TOPK,
         "lineitem_pricing_summary": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "
         "round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "

@@ -16,6 +16,9 @@ clause                operator
 ``minimum_should_     the requested m
 match``)
 ``match_phrase``      ``phrase.phrase_topk`` (needs ``tokens``)
+``query_string``      ``query_string.query_string_topk`` — the +/-/
+                      phrase Lucene-core grammar (``tokens`` needed
+                      for phrase clauses)
 ``prefix``            ``prefix.prefix_topk``
 ``fuzzy``             ``fuzzy.fuzzy_topk``
 ``wildcard``          ``wildcard.wildcard_topk``
@@ -157,6 +160,21 @@ def _scored_hits(
             max_query_terms=int(body.get("max_query_terms", 25)),
             min_term_freq=int(body.get("min_term_freq", 2)),
             min_doc_freq=int(body.get("min_doc_freq", 5)),
+            prune=prune,
+        )
+
+    if kind == "query_string":
+        unknown = set(body) - {"query", "default_operator"}
+        if unknown:
+            raise ValueError(f"query_string: unsupported option(s) {sorted(unknown)}")
+        from ..operators.query_string import query_string_topk
+
+        return query_string_topk(
+            index,
+            tokens,
+            body["query"],
+            k,
+            default_operator=str(body.get("default_operator", "or")).lower(),
             prune=prune,
         )
 

@@ -131,6 +131,19 @@ def test_filtered_reranks_after_filter(index, docs):
     assert out[0][2] == 1  # re-ranked from 1 after the filter
 
 
+def test_query_string_dispatch(index, tokens):
+    from elasticsearch_approx_plugin_spark.operators.query_string import (
+        query_string_topk,
+    )
+
+    req = {"query": {"query_string": {"query": '+hash -"table scan"'}}}
+    got = _rows(search_topk(index, req, tokens=tokens))
+    want = _rows(
+        query_string_topk(index, tokens, '+hash -"table scan"', 10).drop("query_id")
+    )
+    assert got == want and got
+
+
 def test_constant_score(index, docs):
     out = _rows(
         search_topk(
@@ -173,7 +186,7 @@ def test_strictness(index, docs):
     with pytest.raises(ValueError):
         search_topk(index, {"query": {"match": {"text": "x"}}, "explain": True})
     with pytest.raises(ValueError):
-        search_topk(index, {"query": {"query_string": {"query": "x"}}})
+        search_topk(index, {"query": {"span_near": {"clauses": []}}})
     with pytest.raises(ValueError):
         search_topk(index, {"size": 10})  # no query
     with pytest.raises(ValueError):
