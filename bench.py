@@ -391,6 +391,37 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     )
     timings["search_request"] = round(t, 3)
 
+    # query_string serving (round 6): must-phrase adjacency gate +
+    # should term + exclusion — three primitive compositions in one
+    from elasticsearch_approx_plugin_spark.operators.query_string import (
+        query_string_topk,
+    )
+
+    t, _ = _timed(
+        lambda: query_string_topk(
+            index, toks, '+"table hash" dup -stream', 10
+        ).count()
+    )
+    timings["query_string"] = round(t, 3)
+
+    # multi_match serving (round 6): two per-field indexes, dismax
+    from elasticsearch_approx_plugin_spark.operators.multi_match import (
+        multi_match_topk,
+    )
+
+    src_index = build_index(
+        docs.select("doc_id", tokenize_ws("source").alias("tokens")), range_bits=9
+    )
+    t, _ = _timed(
+        lambda: multi_match_topk(
+            {"text": index, "source": src_index},
+            [(0, ["table", "src1"]), (1, ["hash", "join"])],
+            10,
+            tie_breaker=0.3,
+        ).count()
+    )
+    timings["multi_match"] = round(t, 3)
+
     index.postings.unpersist()
     index.dictionary.unpersist()
     return timings, extras
