@@ -30,12 +30,30 @@ term clauses
                       ``docs``)
 ``filtered``          inner scored query, hit set intersected with
                       ``lower_filter`` evaluated on ``docs``
+``match_all``         every visible doc scores the boost
+``term``              single-term BM25 (optional ``boost``)
+``ids``               listed visible docs score 1.0
+``dis_max``           max over sub-queries + tie_breaker × the rest
+``boosting``          positive query's scores, demoted by
+                      ``negative_boost`` where the negative matches
+``bool``              must/should/must_not over ANY scored sub-query
+                      (sum-of-scores, Lucene coord-free like ES ≥ 2);
+                      all-term ``should``-only keeps the fast
+                      ``bool_should_topk`` path
 ====================  =================================================
 
 Pagination (``from``/``size``) trims AFTER ranking, like ES; a
 ``highlight`` block attaches snippets via ``highlight.highlight_topk``
-semantics. Anything unrecognized raises — the parser's strict
-no-silent-drop posture, same as ``request_parser``.
+semantics; a ``sort`` block re-ranks the FULL match set by field
+values (ties broken by doc_id — ES's tiebreak is shard doc order,
+which a deterministic engine replaces with the stable id). Anything
+unrecognized raises — the parser's strict no-silent-drop posture,
+same as ``request_parser``.
+
+Every combinator composes the gated primitives through id-set joins
+and a groupBy on ``doc_id`` over CANDIDATE rows only — frames bounded
+by the sub-queries' match counts, never a corpus-wide shuffle — so
+the 100 TB story of the underlying scorers carries through unchanged.
 """
 
 from __future__ import annotations
@@ -69,6 +87,45 @@ def _field_body(clause_body: dict[str, Any], kind: str) -> tuple[str, Any]:
         raise ValueError(f"{kind} query must name exactly one field, got {sorted(clause_body)}")
     ((fld, spec),) = clause_body.items()
     return fld, spec
+
+
+def _rank(hits: DataFrame, k: int) -> DataFrame:
+    """1-based dense ranking by (score desc, doc_id) within query_id,
+    trimmed to k — the ordering contract every scorer here shares."""
+    return hits.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_id")
+            )
+        )
+        .cast("long"),
+    ).filter(F.col("rank") <= k)
+
+
+def _visible_doc_ids(index: InvertedIndex) -> DataFrame:
+    """The index's live doc universe: doc_stats minus tombstones (the
+    Lucene live-docs view the scorers already apply)."""
+    if index.doc_stats is None:
+        raise ValueError(
+            "match_all/ids need an index with doc_stats (build_index and "
+            "read_index both provide it)"
+        )
+    ids = index.doc_stats.select("doc_id")
+    if index.tombstones is not None:
+        ids = ids.join(index.tombstones.select("doc_id"), "doc_id", "left_anti")
+    return ids
+
+
+def _as_clause_list(val: Any, occur: str) -> list[dict[str, Any]]:
+    if val is None:
+        return []
+    if isinstance(val, dict):
+        return [val]
+    if isinstance(val, list) and all(isinstance(c, dict) for c in val):
+        return val
+    raise ValueError(f"bool {occur} must be a clause object or a list of them")
 
 
 def _scored_hits(
@@ -191,25 +248,191 @@ def _scored_hits(
             return bool_should_topk(index, [(0, terms, mm)], k, prune=prune)
         return score_queries(index, [(0, terms)], k, prune=prune)
 
+    if kind == "match_all":
+        unknown = set(body) - {"boost"}
+        if unknown:
+            raise ValueError(f"match_all query: unsupported key(s) {sorted(unknown)}")
+        boost = round(float(body.get("boost", 1.0)), 6)
+        return _rank(
+            _visible_doc_ids(index).select(
+                F.lit(0).cast("long").alias("query_id"),
+                F.col("doc_id"),
+                F.lit(boost).cast("double").alias("score"),
+            ),
+            k,
+        )
+
+    if kind == "term":
+        fld, spec = _field_body(body, "term")
+        if isinstance(spec, dict):
+            unknown = set(spec) - {"value", "boost"}
+            if unknown:
+                raise ValueError(f"term query: unsupported option(s) {sorted(unknown)}")
+            val, boost = str(spec["value"]), float(spec.get("boost", 1.0))
+        else:
+            val, boost = str(spec), 1.0
+        if boost == 1.0:
+            return score_queries(index, [(0, [val])], k, prune=prune)
+        # boost rescales AFTER the 6-dp rounding the scorer applies, and
+        # re-rounds — ties can move across the grid, so re-rank the full
+        # match set instead of trusting the unscaled ranks
+        scored = score_queries(index, [(0, [val])], index.n_docs, prune=prune)
+        return _rank(
+            scored.select(
+                "query_id",
+                "doc_id",
+                F.round(F.col("score") * boost, 6).alias("score"),
+            ),
+            k,
+        )
+
+    if kind == "ids":
+        unknown = set(body) - {"values", "type"}
+        if unknown:
+            raise ValueError(f"ids query: unsupported key(s) {sorted(unknown)}")
+        vals = body.get("values")
+        if not isinstance(vals, list) or not vals:
+            raise ValueError("ids query requires a non-empty values list")
+        return _rank(
+            _visible_doc_ids(index)
+            .filter(F.col("doc_id").isin([int(v) for v in vals]))
+            .select(
+                F.lit(0).cast("long").alias("query_id"),
+                F.col("doc_id"),
+                F.lit(1.0).cast("double").alias("score"),
+            ),
+            k,
+        )
+
+    if kind == "dis_max":
+        unknown = set(body) - {"queries", "tie_breaker", "boost"}
+        if unknown:
+            raise ValueError(f"dis_max query: unsupported key(s) {sorted(unknown)}")
+        subs = body.get("queries")
+        if not isinstance(subs, list) or not subs:
+            raise ValueError("dis_max requires a non-empty queries list")
+        tie = float(body.get("tie_breaker", 0.0))
+        boost = float(body.get("boost", 1.0))
+        parts = [
+            _scored_hits(index, sub, index.n_docs, tokens, docs, prune).select(
+                "doc_id", "score"
+            )
+            for sub in subs
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        # per-doc dismax over the union of candidate rows (bounded by
+        # Σ sub-query match counts, not the corpus)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("best"), F.sum("score").alias("total")
+        )
+        combined = (
+            F.col("best") + F.lit(tie) * (F.col("total") - F.col("best"))
+        ) * F.lit(boost)
+        return _rank(
+            agg.select(
+                F.lit(0).cast("long").alias("query_id"),
+                F.col("doc_id"),
+                F.round(combined, 6).alias("score"),
+            ),
+            k,
+        )
+
+    if kind == "boosting":
+        unknown = set(body) - {"positive", "negative", "negative_boost"}
+        if unknown:
+            raise ValueError(f"boosting query: unsupported key(s) {sorted(unknown)}")
+        if "positive" not in body or "negative" not in body:
+            raise ValueError("boosting query requires positive and negative")
+        nb = float(body.get("negative_boost", 0.5))
+        pos = _scored_hits(
+            index, body["positive"], index.n_docs, tokens, docs, prune
+        )
+        neg = (
+            _scored_hits(index, body["negative"], index.n_docs, tokens, docs, prune)
+            .select("doc_id")
+            .distinct()
+            .withColumn("_demote", F.lit(True))
+        )
+        demoted = pos.join(neg, "doc_id", "left").select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("score")
+                * F.when(F.col("_demote"), F.lit(nb)).otherwise(F.lit(1.0)),
+                6,
+            ).alias("score"),
+        )
+        return _rank(demoted, k)
+
     if kind == "bool":
-        unknown = set(body) - {"should", "minimum_should_match"}
+        unknown = set(body) - {"must", "should", "must_not", "minimum_should_match"}
         if unknown:
             raise ValueError(
-                f"scored bool query supports should + minimum_should_match here, "
-                f"got {sorted(unknown)} (filter-context bool belongs in 'filtered')"
+                f"scored bool query supports must/should/must_not/"
+                f"minimum_should_match, got {sorted(unknown)} "
+                "(filter-context bool belongs in 'filtered')"
             )
-        shoulds = body.get("should", [])
-        terms = []
-        for sub in shoulds if isinstance(shoulds, list) else [shoulds]:
-            ((skind, sbody),) = sub.items()
-            if skind != "term":
-                raise ValueError(f"scored bool should clause must be term, got {skind!r}")
-            ((_, val),) = sbody.items()
-            terms.append(str(val))
-        if not terms:
-            raise ValueError("scored bool query has no should term clauses")
-        m = int(body.get("minimum_should_match", 1))
-        return bool_should_topk(index, [(0, terms, m)], k, prune=prune)
+        must = _as_clause_list(body.get("must"), "must")
+        should = _as_clause_list(body.get("should"), "should")
+        must_not = _as_clause_list(body.get("must_not"), "must_not")
+        if not must and not should:
+            raise ValueError("scored bool query needs at least one must or should clause")
+        # fast path: the original all-term should-only form keeps the
+        # in-scorer match counting (one postings pass, no per-clause jobs)
+        if not must and not must_not and all(
+            set(c) == {"term"} for c in should
+        ):
+            terms = []
+            for sub in should:
+                ((_, val),) = sub["term"].items()
+                terms.append(str(val if not isinstance(val, dict) else val["value"]))
+            m = int(body.get("minimum_should_match", 1))
+            return bool_should_topk(index, [(0, terms, m)], k, prune=prune)
+        # Lucene BooleanQuery, coord-free (ES ≥ 2 semantics): score =
+        # Σ matched clause scores; every must clause gates candidacy;
+        # minimum_should_match applies to should clauses (default 1
+        # when the query is should-only, else 0)
+        msm = int(
+            body.get("minimum_should_match", 1 if (should and not must) else 0)
+        )
+        tagged = []
+        for occur, clauses in (("must", must), ("should", should)):
+            for sub in clauses:
+                tagged.append(
+                    _scored_hits(index, sub, index.n_docs, tokens, docs, prune)
+                    .select(
+                        "doc_id",
+                        "score",
+                        F.lit(occur == "must").alias("_is_must"),
+                    )
+                )
+        u = tagged[0]
+        for p in tagged[1:]:
+            u = u.unionByName(p)
+        agg = u.groupBy("doc_id").agg(
+            F.round(F.sum("score"), 6).alias("score"),
+            F.sum(F.when(F.col("_is_must"), 1).otherwise(0)).alias("_n_must"),
+            F.sum(F.when(F.col("_is_must"), 0).otherwise(1)).alias("_n_should"),
+        )
+        hits = agg.filter(
+            (F.col("_n_must") == len(must)) & (F.col("_n_should") >= msm)
+        )
+        for sub in must_not:
+            hits = hits.join(
+                _scored_hits(
+                    index, sub, index.n_docs, tokens, docs, prune
+                ).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        return _rank(
+            hits.select(
+                F.lit(0).cast("long").alias("query_id"), "doc_id", "score"
+            ),
+            k,
+        )
 
     if kind == "constant_score":
         # every filter-matched doc scores exactly the boost (ES
@@ -269,7 +492,8 @@ def _scored_hits(
 
     raise ValueError(
         f"unsupported search query type {kind!r} (supported: match, match_phrase, "
-        "terms, prefix, fuzzy, wildcard, regexp, more_like_this, bool-should, "
+        "term, terms, match_all, ids, prefix, fuzzy, wildcard, regexp, "
+        "more_like_this, query_string, bool, dis_max, boosting, "
         "constant_score, filtered)"
     )
 
@@ -289,7 +513,7 @@ def search_topk(
     to ``request_parser.parse_request`` for the facet side (the two
     compose; this function validates but ignores the ``facets`` key).
     """
-    known = {"query", "size", "from", "highlight", "facets"}
+    known = {"query", "size", "from", "highlight", "facets", "sort"}
     unknown = set(request) - known
     if unknown:
         raise ValueError(f"unsupported _search key(s) {sorted(unknown)}")
@@ -299,9 +523,36 @@ def search_topk(
     offset = int(request.get("from", 0))
     if size < 1 or offset < 0:
         raise ValueError(f"size must be >= 1 and from >= 0, got {size}/{offset}")
-    hits = _scored_hits(
-        index, request["query"], offset + size, tokens, docs, prune
-    ).filter((F.col("rank") > offset) & (F.col("rank") <= offset + size))
+    sort = request.get("sort")
+    if sort is not None:
+        # field sort re-ranks the FULL match set by doc-field values
+        # (ES semantics: sort replaces relevance ordering; score still
+        # reported). Ties break by doc_id — the deterministic stand-in
+        # for ES's shard-doc-order tiebreak.
+        if docs is None:
+            raise ValueError("sort needs the docs DataFrame for field values")
+        sort_cols, sort_fields = _sort_order(sort)
+        matched = _scored_hits(
+            index, request["query"], index.n_docs, tokens, docs, prune
+        ).drop("rank")
+        hits = (
+            matched.join(docs.select("doc_id", *sort_fields), "doc_id")
+            .withColumn(
+                "rank",
+                F.row_number()
+                .over(
+                    Window.partitionBy("query_id").orderBy(
+                        *sort_cols, F.col("doc_id")
+                    )
+                )
+                .cast("long"),
+            )
+            .filter((F.col("rank") > offset) & (F.col("rank") <= offset + size))
+        )
+    else:
+        hits = _scored_hits(
+            index, request["query"], offset + size, tokens, docs, prune
+        ).filter((F.col("rank") > offset) & (F.col("rank") <= offset + size))
     hl = request.get("highlight")
     if hl is not None:
         if docs is None:
@@ -328,8 +579,50 @@ def search_topk(
             docs.select("doc_id", snip.alias("snippet")), "doc_id"
         )
     return hits.drop("query_id").select(
-        "doc_id", "score", "rank", *(["snippet"] if hl is not None else [])
+        "doc_id",
+        "score",
+        "rank",
+        *(sort_fields if sort is not None else []),
+        *(["snippet"] if hl is not None else []),
     )
+
+
+def _sort_order(sort: Any) -> tuple[list[F.Column], list[str]]:
+    """Normalize an ES ``sort`` block → (order columns, doc field names
+    to join). Missing values sort LAST in either direction (the ES
+    ``missing: _last`` default)."""
+    entries = sort if isinstance(sort, list) else [sort]
+    if not entries:
+        raise ValueError("sort block must be non-empty")
+    cols: list[F.Column] = []
+    fields: list[str] = []
+    for e in entries:
+        if isinstance(e, str):
+            fld, order = e, ("desc" if e == "_score" else "asc")
+        elif isinstance(e, dict) and len(e) == 1:
+            ((fld, spec),) = e.items()
+            if isinstance(spec, str):
+                order = spec
+            elif isinstance(spec, dict):
+                unknown = set(spec) - {"order"}
+                if unknown:
+                    raise ValueError(
+                        f"sort field {fld!r}: unsupported option(s) {sorted(unknown)}"
+                    )
+                order = spec.get("order", "desc" if fld == "_score" else "asc")
+            else:
+                raise ValueError(f"sort field {fld!r}: bad spec {spec!r}")
+        else:
+            raise ValueError(f"bad sort entry {e!r}")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"sort order must be asc/desc, got {order!r}")
+        col = F.col("score") if fld == "_score" else F.col(fld)
+        cols.append(col.asc_nulls_last() if order == "asc" else col.desc_nulls_last())
+        if fld != "_score":
+            if fld in ("doc_id", "score", "rank"):
+                raise ValueError(f"cannot sort on reserved hit column {fld!r}")
+            fields.append(fld)
+    return cols, list(dict.fromkeys(fields))
 
 
 def _highlight_terms(clause: dict[str, Any]) -> list[str]:

@@ -197,3 +197,221 @@ def test_strictness(index, docs):
             {"query": {"prefix": {"text": "ta"}}, "highlight": {}},
             docs=docs,
         )  # highlight needs literal terms
+
+
+# -- round-6 combinators: term/match_all/ids/dis_max/boosting/bool/sort ----
+
+
+def _score_map(index, terms):
+    """doc_id -> 6-dp BM25 score for one clause's term set."""
+    return {
+        r["doc_id"]: r["score"]
+        for r in score_queries(index, [(0, list(terms))], index.n_docs).collect()
+    }
+
+
+def test_term_query(index):
+    got = _rows(search_topk(index, {"query": {"term": {"text": "hash"}}}))
+    want = _rows(
+        score_queries(index, [(0, ["hash"])], 10).drop("query_id")
+        .select("doc_id", "score", "rank")
+    )
+    assert got == want
+
+
+def test_term_boost_rescales_rounded(index):
+    base = _score_map(index, ["hash"])
+    got = search_topk(
+        index, {"query": {"term": {"text": {"value": "hash", "boost": 3.0}}}}
+    ).collect()
+    assert got  # matches exist
+    for r in got:
+        assert r["score"] == pytest.approx(base[r["doc_id"]] * 3.0, abs=1e-6)
+
+
+def test_match_all_and_ids(index):
+    hits = search_topk(index, {"query": {"match_all": {"boost": 2.5}}}).collect()
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in hits] == [
+        (i, 2.5, i + 1) for i in range(5)
+    ]
+    hits = _rows(search_topk(index, {"query": {"ids": {"values": [1, 3, 99]}}}))
+    assert hits == [(1, 1.0, 1), (3, 1.0, 2)]
+
+
+def test_dis_max_combines_rounded_subscores(index):
+    s_table, s_hash = _score_map(index, ["table"]), _score_map(index, ["hash"])
+    got = search_topk(
+        index,
+        {
+            "query": {
+                "dis_max": {
+                    "queries": [
+                        {"term": {"text": "table"}},
+                        {"term": {"text": "hash"}},
+                    ],
+                    "tie_breaker": 0.5,
+                }
+            }
+        },
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(s_table) | set(s_hash)
+    for r in got:
+        subs = [m[r["doc_id"]] for m in (s_table, s_hash) if r["doc_id"] in m]
+        best, tot = max(subs), sum(subs)
+        assert r["score"] == pytest.approx(best + 0.5 * (tot - best), abs=1e-6)
+
+
+def test_boosting_demotes_negative_matches(index):
+    pos = _score_map(index, ["table", "join"])
+    neg_docs = set(_score_map(index, ["hash"]))
+    got = search_topk(
+        index,
+        {
+            "query": {
+                "boosting": {
+                    "positive": {"match": {"text": "table join"}},
+                    "negative": {"term": {"text": "hash"}},
+                    "negative_boost": 0.5,
+                }
+            }
+        },
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(pos)  # demoted, never dropped
+    for r in got:
+        factor = 0.5 if r["doc_id"] in neg_docs else 1.0
+        assert r["score"] == pytest.approx(pos[r["doc_id"]] * factor, abs=1e-6)
+
+
+def test_bool_general_must_should_must_not(index):
+    s_table = _score_map(index, ["table"])
+    s_join = _score_map(index, ["join"])
+    s_hs = _score_map(index, ["hash", "scan"])
+    got = search_topk(
+        index,
+        {
+            "query": {
+                "bool": {
+                    "must": [{"term": {"text": "table"}}],
+                    "should": [
+                        {"term": {"text": "join"}},
+                        {"match": {"text": "hash scan"}},
+                    ],
+                    "must_not": [{"term": {"text": "tablet"}}],
+                }
+            }
+        },
+    ).collect()
+    # docs with 'table': 0, 1, 3; doc 1 contains 'tablet' -> excluded
+    assert {r["doc_id"] for r in got} == {0, 3}
+    for r in got:
+        d = r["doc_id"]
+        want = s_table[d] + s_join.get(d, 0.0) + s_hs.get(d, 0.0)
+        assert r["score"] == pytest.approx(want, abs=1e-6)
+
+
+def test_bool_msm_counts_clauses(index):
+    # should-only with a non-term clause -> general path; msm=2 keeps
+    # only docs matching BOTH clauses
+    got = search_topk(
+        index,
+        {
+            "query": {
+                "bool": {
+                    "should": [
+                        {"match": {"text": "table"}},
+                        {"match": {"text": "slow row"}},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            }
+        },
+    ).collect()
+    assert got == []  # no doc has 'table' AND ('slow' or 'row')
+    got = search_topk(
+        index,
+        {
+            "query": {
+                "bool": {
+                    "should": [
+                        {"match": {"text": "table"}},
+                        {"match": {"text": "hash"}},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            }
+        },
+    ).collect()
+    assert {r["doc_id"] for r in got} == {0}  # only doc 0 has both
+
+
+def test_bool_general_matches_fast_path(index):
+    # the general path (forced via a no-op must_not) must agree with the
+    # in-scorer fast path on a should-only all-term query
+    fast = _rows(
+        search_topk(
+            index,
+            {"query": {"bool": {"should": [
+                {"term": {"text": "join"}}, {"term": {"text": "hash"}},
+            ]}}},
+        )
+    )
+    general = _rows(
+        search_topk(
+            index,
+            {"query": {"bool": {
+                "should": [
+                    {"term": {"text": "join"}}, {"term": {"text": "hash"}},
+                ],
+                "must_not": [{"term": {"text": "zzznope"}}],
+            }}},
+        )
+    )
+    assert fast == general
+
+
+def test_sort_reranks_full_match_set(index, docs):
+    got = search_topk(
+        index,
+        {"query": {"match": {"text": "table"}}, "sort": [{"text": "desc"}], "size": 3},
+        docs=docs,
+    ).collect()
+    # docs with 'table': 0, 1, 3 -- ordered by text desc
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want_order = sorted([0, 1, 3], key=lambda d: texts[d], reverse=True)
+    assert [r["doc_id"] for r in got] == want_order
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["text"] == texts[want_order[0]]  # sort field rides the hit
+
+
+def test_sort_strictness(index, docs):
+    with pytest.raises(ValueError):  # sort needs docs
+        search_topk(index, {"query": {"match": {"text": "x"}}, "sort": ["text"]})
+    with pytest.raises(ValueError):  # reserved hit column
+        search_topk(
+            index,
+            {"query": {"match": {"text": "x"}}, "sort": [{"doc_id": "asc"}]},
+            docs=docs,
+        )
+    with pytest.raises(ValueError):  # bad order
+        search_topk(
+            index,
+            {"query": {"match": {"text": "x"}}, "sort": [{"text": "sideways"}]},
+            docs=docs,
+        )
+
+
+def test_combinator_strictness(index):
+    with pytest.raises(ValueError):  # dis_max needs queries
+        search_topk(index, {"query": {"dis_max": {"tie_breaker": 0.3}}})
+    with pytest.raises(ValueError):  # boosting needs negative
+        search_topk(
+            index,
+            {"query": {"boosting": {"positive": {"term": {"text": "a"}}}}},
+        )
+    with pytest.raises(ValueError):  # bool needs a positive clause
+        search_topk(
+            index,
+            {"query": {"bool": {"must_not": [{"term": {"text": "a"}}]}}},
+        )
+    with pytest.raises(ValueError):  # ids needs values
+        search_topk(index, {"query": {"ids": {"values": []}}})
