@@ -117,6 +117,28 @@ PHRASE_QUERIES = [
     (4, ["table", "zzznope"]),       # unknown term -> zero candidates
 ]
 
+# span_near gate corpus (sf0.01 match counts in comments): one call per
+# regime, unioned under ONE hash gate so both NEW verifies — the
+# unordered window-multiplicity witness and the ordered greedy
+# subsequence fold — are driver-checked every round
+SPAN_UNORDERED_QUERIES = [        # slop=2, in_order=False
+    (0, ["table", "hash"]),          # 137 docs (vs 46 adjacent) — slop bites
+    (1, ["dup", "row"]),             # candidates > 0, no qualifying window
+    (2, ["table", "table"]),         # multiplicity: 2 occurrences in-window
+    (3, ["scan", "merge", "sort"]),  # 3 clauses, window m+slop=5 (35 docs)
+]
+SPAN_ORDERED_QUERIES = [          # slop=1, in_order=True
+    (10, ["table", "hash"]),         # 71 docs ...
+    (11, ["hash", "table"]),         # ... vs 48 — order asymmetry observed
+    (12, ["table", "table"]),        # repeated term, strictly increasing pos
+]
+SPAN_FIRST_QUERIES = [            # end=3
+    (0, "table"),                    # 59 docs with 'table' in first 3 tokens
+    (1, "hash"),
+    (2, "dup"),                      # term exists, never that early -> 0
+    (3, "zzznope"),                  # unknown term -> zero candidates
+]
+
 _INDEX_CACHE: dict[str, object] = {}
 def _ensure_shipped(spark: SparkSession) -> None:
     """The driver creates its own SparkSession, so ship the package to
@@ -246,6 +268,38 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_topk(_index(spark, sf), _tokens(spark, sf), PHRASE_QUERIES, K)
 
     q["phrase_topk"] = _phrase_topk
+
+    # span queries (round 6): Lucene SpanNearQuery semantics —
+    # candidates from the non-positional index, the positional
+    # predicate verified row-locally (window-multiplicity witness for
+    # unordered, greedy subsequence fold for ordered), BM25 re-rank
+    # row-local like phrase_topk. Both regimes union under one hash
+    # gate (disjoint query_id spaces) so each NEW verify is checked
+    def _span_near_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.span import span_near_topk
+
+        idx, toks = _index(spark, sf), _tokens(spark, sf)
+        unordered = span_near_topk(
+            idx, toks, SPAN_UNORDERED_QUERIES, K, slop=2, in_order=False
+        )
+        ordered = span_near_topk(
+            idx, toks, SPAN_ORDERED_QUERIES, K, slop=1, in_order=True
+        )
+        return unordered.unionByName(ordered)
+
+    q["span_near_topk"] = _span_near_topk
+
+    # span_first (round 6): term among the first `end` tokens (Lucene
+    # SpanFirstQuery); candidates from the index, one slice+position
+    # test row-locally
+    def _span_first_match(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.span import span_first_match
+
+        return span_first_match(
+            _index(spark, sf), _tokens(spark, sf), SPAN_FIRST_QUERIES, end=3
+        )
+
+    q["span_first_match"] = _span_first_match
 
     # prefix queries (round 6): capped dictionary expansion (Lucene
     # max_expansions semantics, term order) + BM25 over the expanded
@@ -1620,7 +1674,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expansion + BM25 disjunction, full hash oracle) takes an
         # in-window slot; displaced:
         # - bm25_topk_appended (4 rounds green r2-r5; its oracle is the
-        #   identical _BM25 statement as the in-window bm25_topk, and
+        #   identical _BM25 statement as the in-window bm25_topk_pruned
+        #   (bm25_topk itself moved to the tail in the twelfth batch
+        #   on the same identical-oracle strength), and
         #   the in-window bm25_topk_deleted gate runs the strictly
         #   harder lifecycle every round — the same
         #   build→write→append path PLUS tombstone filtering).
@@ -1757,9 +1813,30 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_week",              # 4 rounds green
         "date_facet_postzone",          # 4 rounds green
         "date_facet_factor",            # 3 rounds green
+        # round 6 (twelfth batch): span_near_topk (Lucene span_near —
+        # the unordered window-multiplicity witness AND the ordered
+        # greedy-subsequence fold are NEW row-local verify arithmetic,
+        # both under the one unioned hash gate) takes an in-window
+        # slot; displaced:
+        # - bm25_topk (5 rounds green r1-r5; the in-window
+        #   bm25_topk_pruned runs the IDENTICAL oracle statement —
+        #   any drift in the exhaustive scorer's arithmetic breaks its
+        #   hash too, since pruning is provably result-identical — and
+        #   the in-window bm25_topk_deleted gate re-runs the full
+        #   build→write→append→delete lifecycle through the same
+        #   scorer every round; this mirrors the accepted r6
+        #   bm25_topk_appended displacement).
+        "bm25_topk",
+        # round 6 (twelfth batch, cont.): span_first_match registers
+        # in the TAIL (full hash oracle, locally sweep-verified): its
+        # candidates come from the window-checked postings
+        # intersection (phrase/span gates), and the hit test is a
+        # single slice+array_position the oracle recomputes verbatim
+        # (unit-tested in test_span.py).
+        "span_first_match",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 94, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 96, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2225,6 +2302,88 @@ scores AS (
 SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
 FROM scores QUALIFY rank <= {K}
+"""
+
+
+def _span_values() -> str:
+    rows = []
+    for qid, terms in SPAN_UNORDERED_QUERIES:
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        qc = ", ".join(
+            f"{{'term': '{t}', 'cnt': {c}}}" for t, c in sorted(counts.items())
+        )
+        qt = ", ".join(f"'{t}'" for t in terms)
+        rows.append(f"({qid}, [{qt}], [{qc}], 2, false)")
+    for qid, terms in SPAN_ORDERED_QUERIES:
+        qt = ", ".join(f"'{t}'" for t in terms)
+        rows.append(f"({qid}, [{qt}], NULL, 1, true)")
+    return ", ".join(rows)
+
+
+# span_near-filtered BM25 top-k, both regimes in one statement:
+# unordered = the window-multiplicity witness (some start i whose
+# length-(m+slop) slice holds every clause term with its multiplicity),
+# ordered = a positions self-join (exists p1 < p2 with the clause terms
+# in order and waste <= slop — all ordered gate queries are 2-clause);
+# scoring restricted to the match set, identical CTEs to _PHRASE_TOPK
+_SPAN_NEAR_TOPK = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {{values}}) AS q(query_id, qterms, qcounts, slop, ordered)),
+umatch AS (
+  SELECT q.query_id, d.doc_id
+  FROM q CROSS JOIN d
+  WHERE NOT q.ordered
+    AND len(list_filter(generate_series(1, greatest(len(toks), 1)),
+        i -> len(list_filter(qcounts,
+               e -> len(list_filter(toks[i:i+len(qterms)+slop-1], x -> x = e.term)) >= e.cnt)) = len(qcounts))) > 0
+),
+tpos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM d),
+tp AS (SELECT doc_id, pos, toks[pos] AS term FROM tpos),
+omatch AS (
+  SELECT DISTINCT q.query_id, a.doc_id
+  FROM q JOIN tp a ON q.ordered AND a.term = q.qterms[1]
+  JOIN tp b ON b.doc_id = a.doc_id AND b.term = q.qterms[2]
+  WHERE b.pos > a.pos AND b.pos - a.pos <= q.slop + 1
+),
+mset AS (SELECT * FROM umatch UNION ALL SELECT * FROM omatch),
+qterm AS (SELECT query_id, unnest(list_distinct(qterms)) AS term FROM q),
+scores AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM mset m
+  JOIN qterm qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN dfreq df ON df.term = qt.term
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank
+FROM scores QUALIFY rank <= {K}
+""".format(values=_span_values(), K=K)
+
+# span_first: the term occurs among the first `end`=3 tokens
+_SPAN_FIRST_MATCH = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, t in SPAN_FIRST_QUERIES)}) AS q(query_id, term))
+SELECT q.query_id::BIGINT AS query_id, d.doc_id
+FROM q CROSS JOIN d
+WHERE list_contains(toks[1:3], q.term)
 """
 
 # prefix expansion (first max_expansions=3 dictionary terms in term
@@ -2866,6 +3025,8 @@ FROM scored QUALIFY rank <= 10
         "pack_sequences": _PACK_SEQUENCES,
         "phrase_match": _PHRASE_MATCH,
         "phrase_topk": _PHRASE_TOPK,
+        "span_near_topk": _SPAN_NEAR_TOPK,
+        "span_first_match": _SPAN_FIRST_MATCH,
         "prefix_topk": _PREFIX_TOPK,
         "fuzzy_topk": _FUZZY_TOPK,
         "bool_msm_topk": _BOOL_MSM_TOPK,

@@ -404,6 +404,23 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     )
     timings["query_string"] = round(t, 3)
 
+    # span_near serving (round 6): postings-intersected candidates +
+    # the row-local window-witness verify + BM25 fold — the worst case
+    # is the unordered 3-clause query (per-row O(n_tokens × window))
+    from elasticsearch_approx_plugin_spark.operators.span import span_near_topk
+
+    t, _ = _timed(
+        lambda: span_near_topk(
+            index,
+            toks,
+            [(0, ["table", "hash"]), (1, ["scan", "merge", "sort"])],
+            10,
+            slop=2,
+            in_order=False,
+        ).count()
+    )
+    timings["span_near"] = round(t, 3)
+
     # multi_match serving (round 6): two per-field indexes, dismax
     from elasticsearch_approx_plugin_spark.operators.multi_match import (
         multi_match_topk,

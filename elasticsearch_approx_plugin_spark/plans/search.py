@@ -40,6 +40,10 @@ term clauses
                       (sum-of-scores, Lucene coord-free like ES ≥ 2);
                       all-term ``should``-only keeps the fast
                       ``bool_should_topk`` path
+``span_near``         ``span.span_near_topk`` — proximity over
+                      span_term clauses (needs ``tokens``)
+``span_first``        ``span.span_first_match`` gating BM25 (needs
+                      ``tokens``)
 ====================  =================================================
 
 Pagination (``from``/``size``) trims AFTER ranking, like ES; a
@@ -247,6 +251,60 @@ def _scored_hits(
         if mm > 1:
             return bool_should_topk(index, [(0, terms, mm)], k, prune=prune)
         return score_queries(index, [(0, terms)], k, prune=prune)
+
+    if kind == "span_near":
+        unknown = set(body) - {"clauses", "slop", "in_order"}
+        if unknown:
+            raise ValueError(f"span_near query: unsupported key(s) {sorted(unknown)}")
+        clauses = body.get("clauses")
+        if not isinstance(clauses, list) or not clauses:
+            raise ValueError("span_near requires a non-empty clauses list")
+        if tokens is None:
+            raise ValueError("span_near needs the tokens DataFrame")
+        terms = []
+        for sub in clauses:
+            if set(sub) != {"span_term"}:
+                raise ValueError(
+                    f"span_near clauses must be span_term, got {sorted(sub)}"
+                )
+            _, val = _field_body(sub["span_term"], "span_term")
+            terms.append(str(val if not isinstance(val, dict) else val["value"]))
+        from ..operators.span import span_near_topk
+
+        return span_near_topk(
+            index,
+            tokens,
+            [(0, terms)],
+            k,
+            slop=int(body.get("slop", 0)),
+            in_order=bool(body.get("in_order", False)),
+        )
+
+    if kind == "span_first":
+        unknown = set(body) - {"match", "end"}
+        if unknown:
+            raise ValueError(f"span_first query: unsupported key(s) {sorted(unknown)}")
+        if "end" not in body or "match" not in body:
+            raise ValueError("span_first requires match and end")
+        match = body["match"]
+        if set(match) != {"span_term"}:
+            raise ValueError("span_first match must be a span_term clause")
+        if tokens is None:
+            raise ValueError("span_first needs the tokens DataFrame")
+        _, val = _field_body(match["span_term"], "span_term")
+        term = str(val if not isinstance(val, dict) else val["value"])
+        from ..operators.span import span_first_match
+
+        matched = span_first_match(
+            index, tokens, [(0, term)], end=int(body["end"])
+        ).select("doc_id")
+        scored = score_queries(index, [(0, [term])], index.n_docs, prune=prune)
+        return _rank(
+            scored.join(matched, "doc_id", "left_semi").select(
+                "query_id", "doc_id", "score"
+            ),
+            k,
+        )
 
     if kind == "match_all":
         unknown = set(body) - {"boost"}
@@ -494,7 +552,7 @@ def _scored_hits(
         f"unsupported search query type {kind!r} (supported: match, match_phrase, "
         "term, terms, match_all, ids, prefix, fuzzy, wildcard, regexp, "
         "more_like_this, query_string, bool, dis_max, boosting, "
-        "constant_score, filtered)"
+        "span_near, span_first, constant_score, filtered)"
     )
 
 

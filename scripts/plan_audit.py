@@ -361,6 +361,23 @@ def main() -> None:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     )
 
+    # 14b. span_near-filtered BM25: same candidate shape as phrase —
+    # bucket-pruned, term-pushed postings scan — and the positional
+    # window witness + BM25 fold are pure Catalyst lambdas on the
+    # candidates' token arrays (no Python node, no product, no extra
+    # shuffle beyond the candidate intersection and the top-k window)
+    from elasticsearch_approx_plugin_spark.operators.span import span_near_topk
+
+    audit(
+        "span_near_topk_rowlocal_verify",
+        span_near_topk(
+            pidx, toks, [(0, ["hash", "join"]), (1, ["table", "scan"])], 10,
+            slop=2, in_order=False,
+        ),
+        must=["PartitionFilters: [bucket", "PushedFilters: [In(term"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    )
+
     # 15. fuzzy expansion with prefix_length: the OR-of-startswith
     # prefilter must reach the persisted dictionary's parquet scan
     # (the levenshtein conjuncts are not translatable, so this separate
