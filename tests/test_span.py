@@ -174,3 +174,58 @@ def test_span_strictness(index, tokens):
             index,
             {"query": {"span_near": {"clauses": [{"span_term": {"text": "a"}}]}}},
         )
+
+
+def _brute_span_near(toks, terms, slop, in_order):
+    """Reference implementation of the docstring spec: a choice of one
+    DISTINCT position per clause with waste <= slop (strictly
+    increasing when ordered) — enumerated exhaustively."""
+    from itertools import product
+
+    m = len(terms)
+    pos = [[i + 1 for i, t in enumerate(toks) if t == q] for q in terms]
+    for combo in product(*pos):
+        if len(set(combo)) < m:
+            continue
+        if in_order and any(b <= a for a, b in zip(combo, combo[1:])):
+            continue
+        if max(combo) - min(combo) + 1 - m <= slop:
+            return True
+    return False
+
+
+def test_span_near_randomized_vs_brute_force(spark):
+    """The row-local window witness (unordered multiplicity / ordered
+    greedy subsequence) equals the Lucene waste-<=-slop spec on random
+    corpora — the equivalence argument in span.py, checked."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    toks = docs.select("doc_id", tokenize_ws("text").alias("tokens"))
+    idx = build_index(toks, range_bits=2)
+    tok_lists = {i: t.split() for i, t in corpus}
+
+    for slop, in_order in [(0, False), (1, False), (2, False), (1, True)]:
+        queries = [
+            (qid, [rng.choice(vocab) for _ in range(rng.randint(2, 3))])
+            for qid in range(6)
+        ]
+        got = {
+            (r["query_id"], r["doc_id"])
+            for r in span_near_match(
+                idx, toks, queries, slop=slop, in_order=in_order
+            ).collect()
+        }
+        want = {
+            (qid, doc_id)
+            for qid, terms in queries
+            for doc_id, tl in tok_lists.items()
+            if _brute_span_near(tl, terms, slop, in_order)
+        }
+        assert got == want, (slop, in_order, got ^ want)
