@@ -109,6 +109,19 @@ FUZZY_QUERIES = [
     (3, "xxxx"),    # zero-match query -> no rows
 ]
 
+# rescore gate: cheap-OR base window, phrase rescore (the classic ES
+# rescorer use). Window 25 of the OR hits; phrase (0) "table hash"
+# matches dozens of docs at sf0.01 so both regimes — boosted and
+# unboosted-in-window — ride the hash; phrase (1) repeats a term
+# (overlap counting under the gate).
+RESCORE_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["table", "scan"]),
+]
+RESCORE_RESCORES = {0: ["table", "hash"], 1: ["table", "table"]}
+RESCORE_WINDOW = 25
+RESCORE_WEIGHT = 2.0
+
 PHRASE_QUERIES = [
     (0, ["table", "hash"]),          # frequent bigram (46 docs at sf0.01)
     (1, ["slow", "hash", "batch"]),  # trigram, repeats inside docs
@@ -538,6 +551,83 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search_topk(_index(spark, sf), request, docs=_docs(spark, sf))
 
     q["search_boosting_sorted"] = _search_boosting_sorted
+
+    # rescore (round 6): the ES rescore block — base OR query's top
+    # window re-scored by a phrase query, combined
+    # query_weight*base + rescore_query_weight*rescore with non-phrase
+    # window docs keeping base-only. Window ids push into the corpus
+    # scan as an IN filter; the rescore BM25 is the row-local
+    # phrase_topk fold.
+    def _rescore_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.rescore import rescore_topk
+
+        return rescore_topk(
+            _index(spark, sf),
+            _tokens(spark, sf),
+            RESCORE_QUERIES,
+            RESCORE_RESCORES,
+            k=K,
+            window_size=RESCORE_WINDOW,
+            rescore_query_weight=RESCORE_WEIGHT,
+            rescore_type="match_phrase",
+        )
+
+    q["rescore_topk"] = _rescore_topk
+
+    # -- core ES facet family (round 6) -----------------------------------
+    # The reference plugin registers its facets alongside ES 0.90's
+    # built-in facet module (reference README shows both in one
+    # `facets` request block), so a reference user runs these five in
+    # the same queries. Each gate returns the FULL facet response as
+    # one DataFrame (entries + response-level total/other/missing
+    # repeated per row) so a single hash check covers every payload
+    # field. One groupBy shuffle per facet; top-N entry selection
+    # lowers to TakeOrderedAndProject (plan-asserted in
+    # test_facets.py).
+    def _terms_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.facets import terms_facet
+
+        # size=3 of 5 event types → other > 0 exercises the
+        # total-minus-returned arithmetic under the hash
+        return terms_facet(_events(spark, sf), "event_type", size=3)
+
+    q["terms_facet"] = _terms_facet
+
+    def _statistical_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.facets import (
+            statistical_facet,
+        )
+
+        return statistical_facet(_events(spark, sf), "value")
+
+    q["statistical_facet"] = _statistical_facet
+
+    def _histogram_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.facets import histogram_facet
+
+        return histogram_facet(_events(spark, sf), "value", 25.0, value_field="value")
+
+    q["histogram_facet"] = _histogram_facet
+
+    def _range_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.facets import range_facet
+
+        # overlapping ranges + both open bounds under one hash gate
+        return range_facet(
+            _events(spark, sf), "value", [(None, 25.0), (10.0, 100.0), (250.0, None)]
+        )
+
+    q["range_facet"] = _range_facet
+
+    def _terms_stats_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.facets import (
+            terms_stats_facet,
+        )
+
+        # size=0 = all terms (ES all_terms posture)
+        return terms_stats_facet(_events(spark, sf), "event_type", "value", size=0)
+
+    q["terms_stats_facet"] = _terms_stats_facet
 
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
@@ -1834,9 +1924,59 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single slice+array_position the oracle recomputes verbatim
         # (unit-tested in test_span.py).
         "span_first_match",
+        # round 6 (thirteenth batch): terms_facet (ES core terms facet
+        # — the total/other/missing response arithmetic and the
+        # order-grammar top-N cut are NEW) takes an in-window slot;
+        # displaced:
+        # - date_facet_sliced (5 rounds green r1-r5; the in-window
+        #   date_facet_sliced_distinct_hybrid gate runs the IDENTICAL
+        #   slice lowering every round plus the multi-column sketch
+        #   merge, and date_facet_nested keeps the per-(bucket, term)
+        #   count aggregation hash-checked in-window).
+        "date_facet_sliced",
+        # round 6 (thirteenth batch, cont.): statistical_facet (ES
+        # statistical facet — the running-sums population-variance
+        # arithmetic is NEW) takes an in-window slot; displaced:
+        # - phrase_match (2 rounds green; the in-window phrase_topk
+        #   gate runs the IDENTICAL candidate-intersection + row-local
+        #   positional verify every round PLUS the BM25 re-rank — any
+        #   drift in the match set breaks its hash too).
+        "phrase_match",
+        # round 6 (thirteenth batch, cont.): histogram_facet registers
+        # in the TAIL (full hash oracle, locally sweep-verified): its
+        # floor-bucket key is the window-checked TimeValue epoch-floor
+        # arithmetic of the date facets, and its per-bucket value stats
+        # are the in-window statistical_facet's running sums grouped —
+        # only the numeric-interval plumbing (unit-tested) is new.
+        "histogram_facet",
+        # round 6 (thirteenth batch, cont.): range_facet registers in
+        # the TAIL (full hash oracle, locally sweep-verified): the
+        # half-open [from, to) membership grammar is window-checked via
+        # the lower_filter range lowering (date_facet_filter_replay /
+        # query_clause_replay), the per-range stats are the in-window
+        # statistical_facet's sums — only the overlapping-membership
+        # explode (unit-tested incl. empty-range resurrect) is new.
+        "range_facet",
+        # round 6 (thirteenth batch, cont.): terms_stats_facet also
+        # registers in the TAIL (full hash oracle, locally
+        # sweep-verified): its order grammar + missing summary are the
+        # in-window terms_facet's, its per-term stats the in-window
+        # statistical_facet's running sums grouped by key.
+        "terms_stats_facet",
+        # round 6 (fourteenth batch): rescore_topk (ES rescore block —
+        # the window-restricted weighted combine
+        # query_weight*base + rescore_query_weight*phrase-gated-rescore
+        # is NEW arithmetic) takes an in-window slot; displaced:
+        # - term_list_numeric (5 rounds green r1-r5; the in-window
+        #   term_list_text gate runs the IDENTICAL collector machinery
+        #   — sample → explode → per-partition capped distinct → global
+        #   distinct — every round, term_list_post keeps the post mode
+        #   in-window, and the numeric string round-trip is a cast the
+        #   sweep-verified tail gate + test_term_list.py keep covered).
+        "term_list_numeric",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 96, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 102, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2200,6 +2340,71 @@ m AS (
 )
 SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences::BIGINT AS n_occurrences
 FROM m WHERE n_occurrences > 0
+"""
+
+# rescore: base OR scores -> top-RESCORE_WINDOW per query -> phrase-
+# gated rescore BM25 (distinct rescore terms) -> weighted combine ->
+# top-K. Every stage 6-dp rounded exactly like the operator.
+_RESCORE_BASE_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in RESCORE_QUERIES for t in sorted(set(ts))
+)
+_RESCORE_R_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in RESCORE_RESCORES.items() for t in sorted(set(ts))
+)
+_RESCORE_PH_VALUES = ", ".join(
+    f"({qid}, [{', '.join(repr(t) for t in ts)}])"
+    for qid, ts in RESCORE_RESCORES.items()
+)
+_RESCORE_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+bq AS (SELECT * FROM (VALUES {_RESCORE_BASE_VALUES}) AS bq(query_id, term)),
+bscores AS (
+  SELECT bq.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS base
+  FROM bq JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id, base,
+         row_number() OVER (PARTITION BY query_id ORDER BY base DESC, doc_id) AS brn
+  FROM bscores QUALIFY brn <= {RESCORE_WINDOW}
+),
+rq AS (SELECT * FROM (VALUES {_RESCORE_R_VALUES}) AS rq(query_id, term)),
+rsc AS (
+  SELECT rq.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS rscore
+  FROM rq JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+dtoks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+ph AS (SELECT * FROM (VALUES {_RESCORE_PH_VALUES}) AS ph(query_id, phrase)),
+gate AS (
+  SELECT ph.query_id, d.doc_id
+  FROM ph CROSS JOIN dtoks d
+  WHERE len(toks) >= len(phrase)
+    AND len(list_filter(generate_series(1, len(toks) - len(phrase) + 1),
+                        i -> toks[i:i+len(phrase)-1] = phrase)) > 0
+),
+comb AS (
+  SELECT w.query_id, w.doc_id,
+         round(1.0 * w.base + {RESCORE_WEIGHT} *
+               (CASE WHEN g.doc_id IS NOT NULL THEN coalesce(r.rscore, 0) ELSE 0 END), 6) AS score
+  FROM win w
+  LEFT JOIN rsc r ON r.query_id = w.query_id AND r.doc_id = w.doc_id
+  LEFT JOIN gate g ON g.query_id = w.query_id AND g.doc_id = w.doc_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+FROM comb QUALIFY rank <= {K}
 """
 
 # match_phrase_prefix: the phrase-window oracle with the last position
@@ -2820,6 +3025,65 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS cnt FROM events GROUP BY 1",
         "date_facet_sliced": f"SELECT {ev_day} AS time_ms, event_type AS term, "
         "count(*) AS cnt FROM events GROUP BY 1, 2",
+        # core ES facet family: the oracle recomputes every response
+        # payload column (entries AND total/other/missing)
+        "terms_facet": """
+        WITH c AS (SELECT event_type AS term, count(*)::BIGINT AS count
+                   FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        top AS (SELECT * FROM c ORDER BY count DESC, term LIMIT 3),
+        s AS (SELECT coalesce(sum(count), 0)::BIGINT AS total FROM c),
+        m AS (SELECT count(*)::BIGINT AS missing FROM events WHERE event_type IS NULL),
+        r AS (SELECT coalesce(sum(count), 0)::BIGINT AS returned FROM top)
+        SELECT term, count, s.total, (s.total - r.returned)::BIGINT AS other, m.missing
+        FROM top, s, m, r
+        """,
+        # population variance from the same running sums the operator
+        # (and the ES StatisticalFacetExecutor) keeps, clamped at 0
+        # before the sqrt exactly like the operator
+        "statistical_facet": """
+        SELECT count(value)::BIGINT AS count, round(sum(value), 6) AS total,
+               round(min(value), 6) AS min, round(max(value), 6) AS max,
+               round(sum(value) / count(value), 6) AS mean,
+               round(sum(value * value), 6) AS sum_of_squares,
+               round(greatest(sum(value * value) / count(value)
+                     - (sum(value) / count(value)) * (sum(value) / count(value)), 0), 6) AS variance,
+               round(sqrt(greatest(sum(value * value) / count(value)
+                     - (sum(value) / count(value)) * (sum(value) / count(value)), 0)), 6) AS std_deviation
+        FROM events
+        """,
+        "histogram_facet": """
+        SELECT (floor(value / 25.0) * 25.0)::BIGINT AS key,
+               count(*)::BIGINT AS count, count(value)::BIGINT AS total_count,
+               round(min(value), 6) AS min, round(max(value), 6) AS max,
+               round(sum(value), 6) AS total,
+               round(sum(value) / count(value), 6) AS mean
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+        """,
+        # half-open [from, to); a doc lands in EVERY containing range
+        "range_facet": " UNION ALL ".join(
+            f"""
+            SELECT {lo_sql} AS range_from, {hi_sql} AS range_to,
+                   count(*)::BIGINT AS count, count(value)::BIGINT AS total_count,
+                   round(min(value), 6) AS min, round(max(value), 6) AS max,
+                   round(sum(value), 6) AS total,
+                   round(sum(value) / count(value), 6) AS mean
+            FROM events WHERE value IS NOT NULL {cond}
+            """
+            for lo_sql, hi_sql, cond in [
+                ("CAST(NULL AS DOUBLE)", "25.0", "AND value < 25.0"),
+                ("10.0", "100.0", "AND value >= 10.0 AND value < 100.0"),
+                ("250.0", "CAST(NULL AS DOUBLE)", "AND value >= 250.0"),
+            ]
+        ),
+        "terms_stats_facet": """
+        SELECT event_type AS term, count(*)::BIGINT AS count,
+               count(value)::BIGINT AS total_count,
+               round(min(value), 6) AS min, round(max(value), 6) AS max,
+               round(sum(value), 6) AS total,
+               round(sum(value) / count(value), 6) AS mean,
+               (SELECT count(*) FROM events WHERE event_type IS NULL)::BIGINT AS missing
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        """,
         # nested scope == flat facet over the un-nested rows whose
         # PARENT (user) matches the root filter
         "date_facet_nested": f"SELECT {ev_day} AS time_ms, event_type AS term, "
@@ -3025,6 +3289,7 @@ FROM scored QUALIFY rank <= 10
         "pack_sequences": _PACK_SEQUENCES,
         "phrase_match": _PHRASE_MATCH,
         "phrase_topk": _PHRASE_TOPK,
+        "rescore_topk": _RESCORE_TOPK,
         "span_near_topk": _SPAN_NEAR_TOPK,
         "span_first_match": _SPAN_FIRST_MATCH,
         "prefix_topk": _PREFIX_TOPK,
