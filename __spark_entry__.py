@@ -574,6 +574,33 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rescore_topk"] = _rescore_topk
 
+    # term suggester (round 6): did-you-mean over the dictionary. Two
+    # calls with disjoint query_id spaces union under ONE hash gate so
+    # both suggest_mode regimes are checked: missing (incl. a present
+    # input contributing zero rows) and popular (df-dominance gate,
+    # frequency sort, min_word_length=3 knob).
+    def _term_suggest(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.suggest import term_suggest
+
+        idx = _index(spark, sf)
+        missing = term_suggest(
+            idx,
+            [(0, "tabel"), (1, "windoe"), (2, "sprak"), (3, "merge")],
+            size=3,
+        )
+        popular = term_suggest(
+            idx,
+            [(10, "fast"), (11, "row")],
+            size=3,
+            suggest_mode="popular",
+            sort="frequency",
+            prefix_length=0,
+            min_word_length=3,
+        )
+        return missing.unionByName(popular)
+
+    q["term_suggest"] = _term_suggest
+
     # -- core ES facet family (round 6) -----------------------------------
     # The reference plugin registers its facets alongside ES 0.90's
     # built-in facet module (reference README shows both in one
@@ -1974,9 +2001,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   in-window, and the numeric string round-trip is a cast the
         #   sweep-verified tail gate + test_term_list.py keep covered).
         "term_list_numeric",
+        # round 6 (fourteenth batch, cont.): term_suggest registers in
+        # the TAIL (full hash oracle, locally sweep-verified): its
+        # candidate generation is the window-checked fuzzy expansion
+        # machinery (dictionary scan + codegen'd levenshtein + pushable
+        # prefix prefilter, in-window via fuzzy_topk), and the
+        # similarity-score / suggest_mode / sort arithmetic is
+        # unit-tested (test_suggest.py) and oracle-recomputed verbatim
+        # for both unioned mode branches.
+        "term_suggest",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 102, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 103, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2406,6 +2442,55 @@ SELECT query_id::BIGINT AS query_id, doc_id, score,
        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
 FROM comb QUALIFY rank <= {K}
 """
+
+# term suggester: per-branch candidate generation (levenshtein <= 2
+# over the dictionary, prefix / df-dominance gates), the deterministic
+# similarity score 1 - dist/max(len), per-mode sort, top-3 — the
+# oracle recomputes the full arithmetic for BOTH unioned branches
+_TERM_SUGGEST = """
+WITH tok AS ({tok}),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+mq AS (SELECT * FROM (VALUES (0, 'tabel'), (1, 'windoe'), (2, 'sprak'), (3, 'merge'))
+       AS mq(query_id, input)),
+miss AS (SELECT mq.* FROM mq LEFT JOIN d ON d.term = mq.input WHERE d.term IS NULL),
+mcand AS (
+  SELECT m.query_id, d.term AS suggestion,
+         round(1 - levenshtein(d.term, m.input)::DOUBLE
+               / greatest(length(m.input), length(d.term)), 6) AS score,
+         d.df AS freq
+  FROM miss m JOIN d ON d.term <> m.input
+   AND starts_with(d.term, m.input[1:1])
+   AND levenshtein(d.term, m.input) <= 2
+  WHERE length(m.input) >= 4
+),
+mranked AS (
+  SELECT query_id, suggestion, score, freq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, freq DESC, suggestion) AS rank
+  FROM mcand QUALIFY rank <= 3
+),
+pq AS (SELECT * FROM (VALUES (10, 'fast'), (11, 'row')) AS pq(query_id, input)),
+pdf AS (SELECT pq.*, coalesce(d.df, 0) AS indf FROM pq LEFT JOIN d ON d.term = pq.input),
+pcand AS (
+  SELECT p.query_id, d.term AS suggestion,
+         round(1 - levenshtein(d.term, p.input)::DOUBLE
+               / greatest(length(p.input), length(d.term)), 6) AS score,
+         d.df AS freq
+  FROM pdf p JOIN d ON d.term <> p.input
+   AND levenshtein(d.term, p.input) <= 2
+   AND d.df > p.indf
+  WHERE length(p.input) >= 3
+),
+pranked AS (
+  SELECT query_id, suggestion, score, freq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY freq DESC, score DESC, suggestion) AS rank
+  FROM pcand QUALIFY rank <= 3
+)
+SELECT query_id::BIGINT AS query_id, suggestion, score, freq, rank FROM mranked
+UNION ALL
+SELECT query_id::BIGINT, suggestion, score, freq, rank FROM pranked
+""".format(tok=_TOK)
 
 # match_phrase_prefix: the phrase-window oracle with the last position
 # tested against the SAME capped (max_expansions=2) term-order
@@ -3290,6 +3375,7 @@ FROM scored QUALIFY rank <= 10
         "phrase_match": _PHRASE_MATCH,
         "phrase_topk": _PHRASE_TOPK,
         "rescore_topk": _RESCORE_TOPK,
+        "term_suggest": _TERM_SUGGEST,
         "span_near_topk": _SPAN_NEAR_TOPK,
         "span_first_match": _SPAN_FIRST_MATCH,
         "prefix_topk": _PREFIX_TOPK,
