@@ -656,6 +656,25 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terms_stats_facet"] = _terms_stats_facet
 
+    def _core_facet_replay(spark, sf):
+        # a core facet under an enclosing query replays through the
+        # same parse_request as the plugin facets: the query lowers to
+        # a predicate, the terms facet runs over the matched docs
+        from elasticsearch_approx_plugin_spark.plans.request_parser import (
+            parse_request,
+        )
+
+        ev = _events(spark, sf)
+        specs = parse_request(
+            {
+                "query": {"range": {"value": {"gte": 10.0, "lt": 200.0}}},
+                "facets": {"types": {"terms": {"field": "event_type", "size": 3}}},
+            }
+        )
+        return specs["types"].run(ev, global_df=ev)
+
+    q["core_facet_replay"] = _core_facet_replay
+
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "hour"
@@ -2010,9 +2029,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unit-tested (test_suggest.py) and oracle-recomputed verbatim
         # for both unioned mode branches.
         "term_suggest",
+        # round 6 (fourteenth batch, cont.): core_facet_replay also
+        # registers in the TAIL (full hash oracle, locally
+        # sweep-verified): it composes two mechanisms that are each
+        # hash-checked in-window every round — the lower_query/
+        # lower_filter range lowering (query_clause_replay) and the
+        # terms-facet response arithmetic (terms_facet); only the
+        # parse_core_facet key lowering (unit-tested in
+        # test_facets.py::test_core_facet_parse_strictness) is new.
+        "core_facet_replay",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 103, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 104, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -3160,6 +3188,19 @@ def oracle_sql() -> dict[str, str]:
                 ("250.0", "CAST(NULL AS DOUBLE)", "AND value >= 250.0"),
             ]
         ),
+        # core facet under an enclosing query: the same terms-facet
+        # arithmetic over the query-matched rows
+        "core_facet_replay": """
+        WITH f AS (SELECT * FROM events WHERE value >= 10.0 AND value < 200.0),
+        c AS (SELECT event_type AS term, count(*)::BIGINT AS count
+              FROM f WHERE event_type IS NOT NULL GROUP BY 1),
+        top AS (SELECT * FROM c ORDER BY count DESC, term LIMIT 3),
+        s AS (SELECT coalesce(sum(count), 0)::BIGINT AS total FROM c),
+        m AS (SELECT count(*)::BIGINT AS missing FROM f WHERE event_type IS NULL),
+        r AS (SELECT coalesce(sum(count), 0)::BIGINT AS returned FROM top)
+        SELECT term, count, s.total, (s.total - r.returned)::BIGINT AS other, m.missing
+        FROM top, s, m, r
+        """,
         "terms_stats_facet": """
         SELECT event_type AS term, count(*)::BIGINT AS count,
                count(value)::BIGINT AS total_count,

@@ -187,6 +187,55 @@ class TermListQuery:
 
 
 @dataclass(frozen=True)
+class CoreFacetQuery:
+    """One of ES 0.90's built-in facets (terms / statistical /
+    histogram / range / terms_stats) as a typed spec, so the full
+    ``facets`` request block a reference user sends — plugin facets and
+    core facets side by side — replays through :func:`parse_request`.
+    ``params`` are the (already-validated) keyword arguments of the
+    matching ``operators.facets`` function; filter / nested / global
+    lower exactly like the plugin facets above."""
+
+    kind: str
+    params: dict
+    filter: Column | str | None = None
+    nested: str | None = None
+    global_facet: bool = False
+
+    # which params name fields (subject to the nested re-aliasing)
+    _FIELD_PARAMS = {
+        "terms": ("field",),
+        "statistical": ("field",),
+        "histogram": ("key_field", "value_field"),
+        "range": ("field", "value_field"),
+        "terms_stats": ("key_field", "value_field"),
+    }
+
+    def run(self, df: DataFrame, global_df: DataFrame | None = None) -> DataFrame:
+        from ..operators import facets as core
+
+        if self.global_facet:
+            if global_df is None:
+                raise ValueError("global_facet=True requires global_df (the unfiltered table)")
+            df = global_df
+        if self.filter is not None:
+            df = df.filter(self.filter)
+        params = dict(self.params)
+        if self.nested is not None:
+            names = {k: params.get(k) for k in self._FIELD_PARAMS[self.kind]}
+            df, names = _explode_nested(df, self.nested, names)
+            params.update({k: v for k, v in names.items() if k in params})
+        fn = {
+            "terms": core.terms_facet,
+            "statistical": core.statistical_facet,
+            "histogram": core.histogram_facet,
+            "range": core.range_facet,
+            "terms_stats": core.terms_stats_facet,
+        }[self.kind]
+        return fn(df, **params)
+
+
+@dataclass(frozen=True)
 class TopKQuery:
     terms: tuple[str, ...]
     k: int = 10

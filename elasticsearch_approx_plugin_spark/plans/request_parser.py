@@ -24,7 +24,7 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .facet_query import DateFacetQuery, TermListQuery
+from .facet_query import CoreFacetQuery, DateFacetQuery, TermListQuery
 
 _DATE_ALIASES = {
     "field": "key_field",
@@ -90,6 +90,99 @@ def parse_term_list(clause: dict[str, Any], mode: str = "collector") -> TermList
     if "key_field" not in kwargs:
         raise ValueError("term_list requires key_field")
     return TermListQuery(**kwargs)
+
+
+_CORE_FACET_KINDS = ("terms", "statistical", "histogram", "range", "terms_stats")
+
+
+def parse_core_facet(kind: str, body: dict[str, Any]) -> CoreFacetQuery:
+    """ES 0.90 built-in facet body → :class:`CoreFacetQuery`.
+
+    Strict like the plugin parsers: every supported key is lowered,
+    every unsupported key (scripts, regex includes, time_interval,
+    ...) raises — nothing silently drops."""
+    params: dict[str, Any] = {}
+    if kind == "terms":
+        for k, v in body.items():
+            if k == "field":
+                params["field"] = v
+            elif k == "size":
+                params["size"] = int(v)
+            elif k == "order":
+                params["order"] = v
+            elif k == "exclude":
+                params["exclude"] = tuple(v)
+            else:
+                raise ValueError(f"terms facet: unsupported key {k!r}")
+        if "field" not in params:
+            raise ValueError("terms facet requires field")
+    elif kind == "statistical":
+        for k, v in body.items():
+            if k == "field":
+                params["field"] = v
+            else:
+                raise ValueError(f"statistical facet: unsupported key {k!r}")
+        if "field" not in params:
+            raise ValueError("statistical facet requires field")
+    elif kind == "histogram":
+        for k, v in body.items():
+            if k in ("field", "key_field", "keyField"):
+                params["key_field"] = v
+            elif k in ("value_field", "valueField"):
+                params["value_field"] = v
+            elif k == "interval":
+                params["interval"] = float(v)
+            else:
+                raise ValueError(f"histogram facet: unsupported key {k!r}")
+        if "key_field" not in params or "interval" not in params:
+            raise ValueError("histogram facet requires field and interval")
+    elif kind == "range":
+        for k, v in body.items():
+            if k in ("field", "key_field", "keyField"):
+                params["field"] = v
+            elif k in ("value_field", "valueField"):
+                params["value_field"] = v
+            elif k == "ranges":
+                rs = []
+                for r in v:
+                    unknown = set(r) - {"from", "to"}
+                    if unknown:
+                        raise ValueError(
+                            f"range facet: unsupported range key(s) {sorted(unknown)}"
+                        )
+                    rs.append(
+                        (
+                            float(r["from"]) if "from" in r else None,
+                            float(r["to"]) if "to" in r else None,
+                        )
+                    )
+                params["ranges"] = rs
+            else:
+                raise ValueError(f"range facet: unsupported key {k!r}")
+        if "field" not in params or "ranges" not in params:
+            raise ValueError("range facet requires field and ranges")
+    elif kind == "terms_stats":
+        all_terms = False
+        for k, v in body.items():
+            if k in ("key_field", "keyField"):
+                params["key_field"] = v
+            elif k in ("value_field", "valueField"):
+                params["value_field"] = v
+            elif k == "size":
+                params["size"] = int(v)
+            elif k in ("all_terms", "allTerms"):
+                all_terms = bool(v)
+            elif k == "order":
+                params["order"] = v
+            else:
+                raise ValueError(f"terms_stats facet: unsupported key {k!r}")
+        if all_terms:
+            params["size"] = 0  # ES all_terms overrides size
+        if "key_field" not in params or "value_field" not in params:
+            raise ValueError("terms_stats facet requires key_field and value_field")
+    else:
+        raise ValueError(f"unknown core facet kind {kind!r}")
+    return CoreFacetQuery(kind=kind, params=params)
 
 
 def lower_filter(clause: dict[str, Any]) -> Column:
@@ -271,8 +364,15 @@ def lower_query(clause: dict[str, Any]) -> Column | None:
     )
 
 
-def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermListQuery]:
+def parse_request(
+    request: dict[str, Any],
+) -> dict[str, DateFacetQuery | TermListQuery | CoreFacetQuery]:
     """Full REQUEST body → {facet_name: query spec}.
+
+    Facet types: the reference plugin's ``date_facet`` / ``term_list``
+    AND the ES 0.90 built-in facets (terms / statistical / histogram /
+    range / terms_stats) — a reference user's whole ``facets`` block
+    replays, core and plugin facets side by side.
 
     The ``query`` clause is lowered via :func:`lower_query` and folded
     into each non-global spec's ``filter`` (ANDed with its
@@ -291,10 +391,16 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
         # a Spark predicate on ``spec.filter`` — VERDICT r4 #5) are
         # honored; anything else raises rather than silently dropping.
         known = {"date_facet", "term_list", "mode", "nested", "global", "facet_filter", "facetFilter"}
+        known.update(_CORE_FACET_KINDS)
         unknown = set(spec) - known
         if unknown:
             raise ValueError(
                 f"facet {name!r}: unsupported facet-level key(s) {sorted(unknown)}"
+            )
+        core_kinds = [k for k in _CORE_FACET_KINDS if k in spec]
+        if ("date_facet" in spec) + ("term_list" in spec) + len(core_kinds) != 1:
+            raise ValueError(
+                f"facet {name!r}: exactly one facet type required, got {sorted(spec)}"
             )
         if "date_facet" in spec:
             if "mode" in spec:
@@ -305,7 +411,9 @@ def parse_request(request: dict[str, Any]) -> dict[str, DateFacetQuery | TermLis
         elif "term_list" in spec:
             q = parse_term_list(spec["term_list"], spec.get("mode", "collector"))
         else:
-            raise ValueError(f"facet {name!r}: unknown facet type {set(spec)}")
+            if "mode" in spec:
+                raise ValueError(f"facet {name!r}: 'mode' is a term_list key")
+            q = parse_core_facet(core_kinds[0], spec[core_kinds[0]])
         ffilter = spec.get("facet_filter", spec.get("facetFilter"))
         is_global = bool(spec.get("global", False))
         # facet scope = (enclosing query ∧ facet_filter), both in root

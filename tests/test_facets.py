@@ -279,3 +279,71 @@ def test_facet_plans_single_exchange(spark, sf_dir):
     # membership is a per-row literal-array filter — no join for the
     # range table beyond the single-row broadcast resurrect
     assert "CartesianProduct" not in rp and "SortMergeJoin" not in rp
+
+
+# ------------------------------------------------- request replay ----------
+
+
+def test_core_facets_replay_full_request(spark, sf_dir):
+    """A full ES request with core facets + enclosing query replays to
+    the same result as the operator over the pre-filtered frame."""
+    from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    req = {
+        "query": {"range": {"value": {"gte": 10.0, "lt": 200.0}}},
+        "facets": {
+            "types": {"terms": {"field": "event_type", "size": 2, "order": "term"}},
+            "vals": {"statistical": {"field": "value"}},
+            "hist": {"histogram": {"key_field": "value", "value_field": "value",
+                                   "interval": 50}},
+            "rng": {"range": {"field": "value",
+                              "ranges": [{"to": 50.0}, {"from": 25.0, "to": 150.0}]}},
+            "ts": {"terms_stats": {"key_field": "event_type", "value_field": "value",
+                                   "all_terms": True, "order": "total"}},
+            "glob": {"statistical": {"field": "value"}, "global": True},
+        },
+    }
+    specs = parse_request(req)
+    filt = ev.filter((F.col("value") >= 10.0) & (F.col("value") < 200.0))
+    want_types = {tuple(r) for r in terms_facet(filt, "event_type", 2, "term").collect()}
+    got_types = {tuple(r) for r in specs["types"].run(ev, global_df=ev).collect()}
+    assert got_types == want_types and len(got_types) == 2
+    got_stat = specs["vals"].run(ev, global_df=ev).collect()[0]
+    want_stat = statistical_facet(filt, "value").collect()[0]
+    assert tuple(got_stat) == tuple(want_stat)
+    # global facet ignores the enclosing query
+    got_glob = specs["glob"].run(filt, global_df=ev).collect()[0]
+    assert tuple(got_glob) == tuple(statistical_facet(ev, "value").collect()[0])
+    got_ts = specs["ts"].run(ev, global_df=ev)
+    assert got_ts.count() == terms_stats_facet(filt, "event_type", "value", 0).count()
+    assert specs["rng"].run(ev, global_df=ev).count() == 2
+    assert specs["hist"].run(ev, global_df=ev).count() > 0
+
+
+def test_core_facet_parse_strictness(spark):
+    from elasticsearch_approx_plugin_spark.plans.request_parser import (
+        parse_core_facet,
+        parse_request,
+    )
+
+    with pytest.raises(ValueError):
+        parse_core_facet("terms", {"field": "x", "script": "bad"})
+    with pytest.raises(ValueError):
+        parse_core_facet("statistical", {})
+    with pytest.raises(ValueError):
+        parse_core_facet("histogram", {"field": "x"})  # no interval
+    with pytest.raises(ValueError):
+        parse_core_facet("range", {"field": "x", "ranges": [{"frm": 1}]})
+    with pytest.raises(ValueError):
+        parse_core_facet("terms_stats", {"key_field": "x"})  # no value_field
+    # all_terms overrides size regardless of key order
+    q = parse_core_facet("terms_stats",
+                         {"key_field": "k", "value_field": "v",
+                          "all_terms": True, "size": 7})
+    assert q.params["size"] == 0
+    with pytest.raises(ValueError):  # two facet types in one spec
+        parse_request({"facets": {"f": {"terms": {"field": "x"},
+                                        "statistical": {"field": "y"}}}})
+    with pytest.raises(ValueError):  # mode is a term_list key
+        parse_request({"facets": {"f": {"terms": {"field": "x"}, "mode": "post"}}})
