@@ -601,6 +601,26 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_suggest"] = _term_suggest
 
+    # function_score (round 6): gaussian distance decay on n_chars
+    # multiplied into the BM25 base — re-ranks EVERY match (uncapped
+    # base), the ES function_score semantics. decay=0.5 at distance
+    # scale; docs near origin=150 chars get promoted.
+    def _function_score_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.function_score import (
+            function_score_topk,
+        )
+
+        meta = spark.read.parquet(f"{sf}/documents.parquet")
+        return function_score_topk(
+            _index(spark, sf),
+            meta,
+            RESCORE_QUERIES,
+            [{"gauss": {"field": "n_chars", "origin": 150.0, "scale": 50.0}}],
+            k=K,
+        )
+
+    q["function_score_topk"] = _function_score_topk
+
     # -- core ES facet family (round 6) -----------------------------------
     # The reference plugin registers its facets alongside ES 0.90's
     # built-in facet module (reference README shows both in one
@@ -2038,9 +2058,19 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse_core_facet key lowering (unit-tested in
         # test_facets.py::test_core_facet_parse_strictness) is new.
         "core_facet_replay",
+        # round 6 (fourteenth batch, cont.): function_score_topk
+        # registers in the TAIL (full hash oracle, locally
+        # sweep-verified): its base scores are the window-checked
+        # scorer's own output (uncapped — same arithmetic as the
+        # in-window bm25 gates), and the gaussian-decay closed form +
+        # multiply combine is unit-tested per-row arithmetic
+        # (test_function_score.py) the oracle recomputes verbatim with
+        # the sigma constant inlined — the search_boosting_sorted
+        # precedent (when()-multiply re-rank of window-checked scores).
+        "function_score_topk",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 104, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 105, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2470,6 +2500,44 @@ SELECT query_id::BIGINT AS query_id, doc_id, score,
        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
 FROM comb QUALIFY rank <= {K}
 """
+
+# function_score: uncapped base BM25 (re-rank-everything semantics)
+# joined to n_chars, gaussian decay with the sigma^2 constant inlined
+# (computed once in Python so neither engine's ln() participates),
+# decay value and combined score 6-dp rounded like the operator
+_FS_SIGMA2X2 = -2.0 * (50.0 * 50.0) / (2.0 * __import__("math").log(0.5))
+_FUNCTION_SCORE_TOPK = f"""
+WITH tok AS ({{tok}}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+bq AS (SELECT * FROM (VALUES {{values}}) AS bq(query_id, term)),
+base AS (
+  SELECT bq.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS b
+  FROM bq JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+fv AS (
+  SELECT base.query_id, base.doc_id, base.b,
+         round(CASE WHEN m.n_chars IS NULL THEN 1.0
+               ELSE exp(-(greatest(abs(m.n_chars::DOUBLE - 150.0), 0.0)
+                          * greatest(abs(m.n_chars::DOUBLE - 150.0), 0.0))
+                        / {_FS_SIGMA2X2!r}) END, 6) AS f
+  FROM base LEFT JOIN documents m USING (doc_id)
+)
+SELECT query_id::BIGINT AS query_id, doc_id, round(b * f, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(b * f, 6) DESC, doc_id) AS rank
+FROM fv QUALIFY rank <= {{k}}
+""".format(
+    tok=_TOK,
+    values=", ".join(
+        f"({qid}, '{t}')" for qid, ts in RESCORE_QUERIES for t in sorted(set(ts))
+    ),
+    k=K,
+)
 
 # term suggester: per-branch candidate generation (levenshtein <= 2
 # over the dictionary, prefix / df-dominance gates), the deterministic
@@ -3417,6 +3485,7 @@ FROM scored QUALIFY rank <= 10
         "phrase_topk": _PHRASE_TOPK,
         "rescore_topk": _RESCORE_TOPK,
         "term_suggest": _TERM_SUGGEST,
+        "function_score_topk": _FUNCTION_SCORE_TOPK,
         "span_near_topk": _SPAN_NEAR_TOPK,
         "span_first_match": _SPAN_FIRST_MATCH,
         "prefix_topk": _PREFIX_TOPK,
