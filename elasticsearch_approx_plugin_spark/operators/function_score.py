@@ -114,6 +114,27 @@ def function_score_topk(
     "weight"?}`` (or ``linear`` / ``exp``), or a bare
     ``{"boost_factor": w}`` / ``{"weight": w}``.
     """
+    base = score_queries(index, queries, k=index.n_docs).select(
+        "query_id", "doc_id", F.col("score").alias("score")
+    )
+    return apply_functions(
+        base, meta, functions, k,
+        boost_mode=boost_mode, score_mode=score_mode, id_col=id_col,
+    )
+
+
+def apply_functions(
+    base: DataFrame,
+    meta: DataFrame,
+    functions: list[dict],
+    k: int,
+    boost_mode: str = "multiply",
+    score_mode: str = "multiply",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The function_score combine over an UNCAPPED base match set
+    ``(query_id, doc_id, score)`` — exposed separately so the
+    ``_search`` dispatcher can wrap ANY scored query type."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not functions:
@@ -144,9 +165,7 @@ def function_score_topk(
             for kind in (set(fn) & set(_DECAYS))
         }
     )
-    base = score_queries(index, queries, k=index.n_docs).select(
-        "query_id", "doc_id", F.col("score").alias("_base")
-    )
+    base = base.select("query_id", "doc_id", F.col("score").alias("_base"))
     # left join: a doc absent from meta keeps its base row (its decay
     # fields are NULL -> function value 1.0, the no-decay posture)
     joined = base.join(

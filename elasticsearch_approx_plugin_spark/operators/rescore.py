@@ -96,20 +96,49 @@ def rescore_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if window_size < k:
         raise ValueError(f"window_size ({window_size}) must be >= k ({k})")
-    if rescore_type not in _RESCORE_TYPES:
-        raise ValueError(f"rescore_type must be one of {_RESCORE_TYPES}")
     if not queries:
         raise ValueError("queries must be non-empty")
     qids = [qid for qid, _ in queries]
     missing = [qid for qid in qids if qid not in rescores]
     if missing:
         raise ValueError(f"queries without a rescore entry: {missing}")
+    base = score_queries(index, queries, window_size)
+    return rescore_window(
+        index, base, corpus, rescores, k,
+        query_weight=query_weight,
+        rescore_query_weight=rescore_query_weight,
+        rescore_type=rescore_type,
+        tokens_col=tokens_col,
+        id_col=id_col,
+    )
+
+
+def rescore_window(
+    index: InvertedIndex,
+    base: DataFrame,
+    corpus: DataFrame,
+    rescores: dict[int, list[str]],
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    rescore_type: str = "match",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The rescore combine over an already-windowed base
+    ``(query_id, doc_id, score)`` — exposed separately so the
+    ``_search`` dispatcher can rescore ANY scored query type's top
+    window (``base`` must already be trimmed to the window)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rescore_type not in _RESCORE_TYPES:
+        raise ValueError(f"rescore_type must be one of {_RESCORE_TYPES}")
+    if not rescores:
+        raise ValueError("rescores must be non-empty")
     if any(not ts for ts in rescores.values()):
         raise ValueError("rescore term lists must be non-empty")
 
-    base = score_queries(index, queries, window_size).select(
-        "query_id", "doc_id", F.col("score").alias("_base")
-    )
+    base = base.select("query_id", "doc_id", F.col("score").alias("_base"))
     # bounded window collect (≤ q × window ids) → IN pushdown into the
     # corpus scan, exactly the highlight_topk discipline
     win_ids = sorted({r["doc_id"] for r in base.select("doc_id").distinct().collect()})

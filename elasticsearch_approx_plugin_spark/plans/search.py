@@ -44,7 +44,15 @@ term clauses
                       span_term clauses (needs ``tokens``)
 ``span_first``        ``span.span_first_match`` gating BM25 (needs
                       ``tokens``)
+``function_score``    ``function_score.apply_functions`` over ANY
+                      inner scored query (uncapped — decay re-ranks
+                      everything; needs ``docs`` for the fields)
 ====================  =================================================
+
+A top-level ``rescore`` block re-scores the base query's top
+``window_size`` by a match/match_phrase rescore_query through
+``rescore.rescore_window`` (strict: window must cover from+size, no
+sort). The ``suggest`` section replays via :func:`suggest_block`.
 
 Pagination (``from``/``size``) trims AFTER ranking, like ES; a
 ``highlight`` block attaches snippets via ``highlight.highlight_topk``
@@ -548,11 +556,37 @@ def _scored_hits(
             )
         )
 
+    if kind == "function_score":
+        # decay/boost functions over ANY inner scored query — the
+        # inner query scores UNCAPPED (functions re-rank everything),
+        # then operators.function_score.apply_functions does the
+        # closed-form combine (see its module docstring)
+        from ..operators.function_score import apply_functions
+
+        unknown = set(body) - {"query", "functions", "score_mode", "boost_mode"}
+        if unknown:
+            raise ValueError(f"function_score query: unsupported key(s) {sorted(unknown)}")
+        if "query" not in body or "functions" not in body:
+            raise ValueError("function_score requires query and functions")
+        if docs is None:
+            raise ValueError("function_score needs the docs DataFrame for decay fields")
+        inner = _scored_hits(
+            index, body["query"], index.n_docs, tokens, docs, prune
+        ).drop("rank")
+        return apply_functions(
+            inner,
+            docs,
+            body["functions"],
+            k,
+            boost_mode=body.get("boost_mode", "multiply"),
+            score_mode=body.get("score_mode", "multiply"),
+        )
+
     raise ValueError(
         f"unsupported search query type {kind!r} (supported: match, match_phrase, "
         "term, terms, match_all, ids, prefix, fuzzy, wildcard, regexp, "
         "more_like_this, query_string, bool, dis_max, boosting, "
-        "span_near, span_first, constant_score, filtered)"
+        "span_near, span_first, constant_score, filtered, function_score)"
     )
 
 
@@ -571,7 +605,7 @@ def search_topk(
     to ``request_parser.parse_request`` for the facet side (the two
     compose; this function validates but ignores the ``facets`` key).
     """
-    known = {"query", "size", "from", "highlight", "facets", "sort"}
+    known = {"query", "size", "from", "highlight", "facets", "sort", "rescore"}
     unknown = set(request) - known
     if unknown:
         raise ValueError(f"unsupported _search key(s) {sorted(unknown)}")
@@ -582,7 +616,60 @@ def search_topk(
     if size < 1 or offset < 0:
         raise ValueError(f"size must be >= 1 and from >= 0, got {size}/{offset}")
     sort = request.get("sort")
-    if sort is not None:
+    resc = request.get("rescore")
+    if resc is not None:
+        if sort is not None:
+            raise ValueError("rescore does not combine with sort (sort replaces relevance)")
+        if tokens is None:
+            raise ValueError("rescore needs the tokens DataFrame")
+        from ..operators.rescore import rescore_window
+
+        unknown = set(resc) - {"window_size", "query"}
+        if unknown:
+            raise ValueError(f"rescore: unsupported key(s) {sorted(unknown)}")
+        if "window_size" not in resc or "query" not in resc:
+            raise ValueError("rescore requires window_size and query")
+        rq = resc["query"]
+        unknown = set(rq) - {"rescore_query", "query_weight", "rescore_query_weight"}
+        if unknown:
+            raise ValueError(f"rescore query: unsupported key(s) {sorted(unknown)}")
+        if "rescore_query" not in rq:
+            raise ValueError("rescore query requires rescore_query")
+        inner = rq["rescore_query"]
+        if len(inner) != 1 or next(iter(inner)) not in ("match", "match_phrase"):
+            raise ValueError(
+                "rescore_query must be a match or match_phrase clause "
+                f"(got {sorted(inner)})"
+            )
+        ((rkind, rbody),) = inner.items()
+        _, rspec = _field_body(rbody, rkind)
+        rtext = rspec["query"] if isinstance(rspec, dict) else rspec
+        if isinstance(rspec, dict) and set(rspec) - {"query"}:
+            raise ValueError(
+                f"rescore {rkind}: unsupported option(s) {sorted(set(rspec) - {'query'})}"
+            )
+        rterms = _analyze(str(rtext))
+        if not rterms:
+            raise ValueError("rescore query analyzed to zero terms")
+        window = int(resc["window_size"])
+        if window < offset + size:
+            raise ValueError(
+                f"rescore window_size ({window}) must cover from+size ({offset + size})"
+            )
+        base = _scored_hits(
+            index, request["query"], window, tokens, docs, prune
+        ).drop("rank")
+        hits = rescore_window(
+            index,
+            base,
+            tokens,
+            {0: rterms},
+            k=offset + size,
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
+            rescore_type=rkind,
+        ).filter((F.col("rank") > offset) & (F.col("rank") <= offset + size))
+    elif sort is not None:
         # field sort re-ranks the FULL match set by doc-field values
         # (ES semantics: sort replaces relevance ordering; score still
         # reported). Ties break by doc_id — the deterministic stand-in
@@ -705,3 +792,55 @@ def _highlight_terms(clause: dict[str, Any]) -> list[str]:
     if kind == "filtered":
         return _highlight_terms(body.get("query", {"match_all": {}}))
     raise ValueError(f"highlight is not supported for query type {kind!r}")
+
+
+def suggest_block(index: InvertedIndex, request: dict[str, Any]) -> DataFrame:
+    """Replay the ``suggest`` section of a request →
+    ``(name, input, suggestion, score, freq, rank)``.
+
+    Shape (the ES 0.90 suggest API): ``{"suggest": {<name>: {"text":
+    str, "term": {<options>}}}}`` (or the bare inner dict). The text
+    analyzes through the same whitespace analyzer as the index; each
+    token gets its own suggestions (ES per-token entries). ``field``
+    is required by ES and accepted here, but this engine indexes one
+    field — any value names it. Strict elsewhere: unknown option keys
+    raise. One :func:`~...operators.suggest.term_suggest` call per
+    named suggester (its options differ per name), each a single
+    prefix-pruned dictionary scan.
+    """
+    from ..operators.suggest import term_suggest
+
+    body = request.get("suggest", request)
+    if not isinstance(body, dict) or not body:
+        raise ValueError("suggest block must be a non-empty object")
+    spark = index.dictionary.sparkSession
+    out = None
+    for name, spec in body.items():
+        unknown = set(spec) - {"text", "term"}
+        if unknown:
+            raise ValueError(f"suggester {name!r}: unsupported key(s) {sorted(unknown)}")
+        if "text" not in spec or "term" not in spec:
+            raise ValueError(f"suggester {name!r} requires text and term")
+        opts = dict(spec["term"])
+        opts.pop("field", None)  # single indexed field; any value names it
+        allowed = {
+            "size", "suggest_mode", "sort", "max_edits",
+            "prefix_length", "min_word_length", "min_doc_freq",
+        }
+        unknown = set(opts) - allowed
+        if unknown:
+            raise ValueError(f"suggester {name!r}: unsupported option(s) {sorted(unknown)}")
+        toks = _analyze(str(spec["text"]))
+        if not toks:
+            raise ValueError(f"suggester {name!r}: text analyzed to zero tokens")
+        inputs = list(enumerate(toks))
+        sugg = term_suggest(index, inputs, **opts)
+        labels = spark.createDataFrame(
+            [(qid, name, tok) for qid, tok in inputs],
+            "query_id long, name string, input string",
+        )
+        part = sugg.join(F.broadcast(labels), "query_id").select(
+            "name", "input", "suggestion", "score", "freq", "rank"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

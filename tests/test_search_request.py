@@ -415,3 +415,102 @@ def test_combinator_strictness(index):
         )
     with pytest.raises(ValueError):  # ids needs values
         search_topk(index, {"query": {"ids": {"values": []}}})
+
+
+def test_function_score_query_type(index, tokens, docs):
+    from elasticsearch_approx_plugin_spark.operators.function_score import (
+        function_score_topk,
+    )
+
+    docs_meta = docs.withColumn("size", F.length("text").cast("double"))
+    req = {
+        "query": {
+            "function_score": {
+                "query": {"match": {"text": "table join"}},
+                "functions": [
+                    {"gauss": {"field": "size", "origin": 20.0, "scale": 10.0}}
+                ],
+            }
+        }
+    }
+    got = _rows(search_topk(index, req, tokens=tokens, docs=docs_meta))
+    want = _rows(
+        function_score_topk(
+            index, docs_meta, [(0, ["table", "join"])],
+            [{"gauss": {"field": "size", "origin": 20.0, "scale": 10.0}}], k=10,
+        ).drop("query_id")
+    )
+    assert got == want and got
+    with pytest.raises(ValueError):  # functions required
+        search_topk(
+            index,
+            {"query": {"function_score": {"query": {"match": {"text": "t"}}}}},
+            docs=docs_meta,
+        )
+
+
+def test_rescore_block(index, tokens, docs):
+    from elasticsearch_approx_plugin_spark.operators.rescore import rescore_topk
+
+    req = {
+        "query": {"match": {"text": "table join"}},
+        "rescore": {
+            "window_size": 5,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": "table join"}},
+                "rescore_query_weight": 3.0,
+            },
+        },
+        "size": 3,
+    }
+    got = _rows(search_topk(index, req, tokens=tokens, docs=docs))
+    want = _rows(
+        rescore_topk(
+            index, tokens, [(0, ["table", "join"])], {0: ["table", "join"]},
+            k=3, window_size=5, rescore_query_weight=3.0,
+            rescore_type="match_phrase",
+        ).drop("query_id")
+    )
+    assert got == want and got
+    with pytest.raises(ValueError):  # rescore + sort
+        search_topk(
+            index, {**req, "sort": [{"doc_id": "asc"}]}, tokens=tokens, docs=docs
+        )
+    with pytest.raises(ValueError):  # window must cover from+size
+        bad = dict(req)
+        bad["rescore"] = {**req["rescore"], "window_size": 2}
+        search_topk(index, bad, tokens=tokens, docs=docs)
+    with pytest.raises(ValueError):  # only match/match_phrase rescore
+        bad = dict(req)
+        bad["rescore"] = {
+            "window_size": 5,
+            "query": {"rescore_query": {"term": {"text": "table"}}},
+        }
+        search_topk(index, bad, tokens=tokens, docs=docs)
+
+
+def test_suggest_block(index):
+    from elasticsearch_approx_plugin_spark.operators.suggest import term_suggest
+    from elasticsearch_approx_plugin_spark.plans.search import suggest_block
+
+    req = {
+        "suggest": {
+            "fix": {
+                "text": "tabel windoe",
+                "term": {"field": "text", "size": 2},
+            }
+        }
+    }
+    got = {
+        (r["name"], r["input"], r["suggestion"], r["rank"])
+        for r in suggest_block(index, req).collect()
+    }
+    want = {
+        ("fix", ["tabel", "windoe"][r["query_id"]], r["suggestion"], r["rank"])
+        for r in term_suggest(index, [(0, "tabel"), (1, "windoe")], size=2).collect()
+    }
+    assert got == want and got
+    with pytest.raises(ValueError):  # unknown option
+        suggest_block(index, {"suggest": {"s": {"text": "x", "term": {"bogus": 1}}}})
+    with pytest.raises(ValueError):  # missing text
+        suggest_block(index, {"suggest": {"s": {"term": {}}}})
