@@ -695,6 +695,26 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["core_facet_replay"] = _core_facet_replay
 
+    # mixture_sample (round 6): budgeted token-mixture sampling — the
+    # rate solver (t_max = min over strata of supply/target, capped by
+    # the budget; floor-quantized thresholds) recomputed verbatim by
+    # the oracle; the kept-set filter is the gated stratified_sample
+    # hash arithmetic. Budget 12000 binds (raw t_max would be 15898
+    # at sf0.01-like shapes), so the cap path rides the hash.
+    def _mixture_sample(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.sampling import mixture_sample
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return mixture_sample(
+            docs,
+            {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            stratum_col="source",
+            weight_col="n_chars",
+            token_budget=12000,
+        ).select("doc_id", "source", "n_chars")
+
+    q["mixture_sample"] = _mixture_sample
+
     # -- date facets (reference ops 5-8, 14; tz grammar op 3) -------------
     q["date_facet_counting"] = lambda spark, sf: date_facet(
         _events(spark, sf), "ts", "hour"
@@ -2068,9 +2088,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sigma constant inlined — the search_boosting_sorted
         # precedent (when()-multiply re-rank of window-checked scores).
         "function_score_topk",
+        # round 6 (fifteenth batch): mixture_sample registers in the
+        # TAIL (full hash oracle, locally sweep-verified): its kept-set
+        # filter is the in-window stratified_sample gate's IDENTICAL
+        # md5-bucket hash arithmetic, and the budgeted rate solver is
+        # driver-side closed-form arithmetic the oracle recomputes
+        # verbatim with matched expression order (unit-tested in
+        # test_sampling_filtering.py incl. nesting + invariance).
+        "mixture_sample",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 105, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 106, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2321,6 +2349,26 @@ SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
        coalesce(h.n, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
+"""
+
+# mixture_sample: per-stratum token totals -> t_max = least(supply/
+# target, budget) -> floor-quantized thresholds -> the stratified hash
+# filter. Expression ORDER mirrors the operator's Python exactly
+# (((prop * t_max) / tok) * 10000) so the doubles are bit-identical.
+_MIXTURE_SAMPLE = """
+WITH tot AS (
+  SELECT source, sum(n_chars)::DOUBLE AS tok FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+),
+p AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+      AS p(source, prop)),
+tp AS (SELECT t.source, t.tok, p.prop FROM tot t JOIN p USING (source)),
+tm AS (SELECT least(min(tok / prop), 12000.0) AS t_max FROM tp),
+th AS (SELECT source, floor(prop * tm.t_max / tok * 10000)::BIGINT AS thr
+       FROM tp, tm)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN th ON th.source = d.source
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT % 10000 < th.thr
 """
 
 _STRATIFIED_SAMPLE = """
@@ -3478,6 +3526,7 @@ FROM scored QUALIFY rank <= 10
         "line_dedup": _LINE_DEDUP,
         "decontaminate": _DECONTAMINATE,
         "stratified_sample": _STRATIFIED_SAMPLE,
+        "mixture_sample": _MIXTURE_SAMPLE,
         "pii_redact": _pii_sql(),
         "token_chunk": _TOKEN_CHUNK,
         "pack_sequences": _PACK_SEQUENCES,

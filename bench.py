@@ -439,6 +439,74 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     )
     timings["multi_match"] = round(t, 3)
 
+    # core ES facet family (round 6): five one-shuffle aggregations
+    # over events in one timed block — the facet-request serving cost
+    from elasticsearch_approx_plugin_spark.operators.facets import (
+        histogram_facet,
+        range_facet,
+        statistical_facet,
+        terms_facet,
+        terms_stats_facet,
+    )
+
+    def _core_facets():
+        n = terms_facet(events, "event_type", size=3).count()
+        n += statistical_facet(events, "value").count()
+        n += histogram_facet(events, "value", 25.0, value_field="value").count()
+        n += range_facet(
+            events, "value", [(None, 25.0), (10.0, 100.0), (250.0, None)]
+        ).count()
+        n += terms_stats_facet(events, "event_type", "value", size=0).count()
+        return n
+
+    t, _ = _timed(_core_facets)
+    timings["core_facets_5x"] = round(t, 3)
+
+    # rescore serving (round 6): OR window 25 + phrase-gated re-rank —
+    # the rescore pass reads only window docs (IN-pushed corpus scan)
+    from elasticsearch_approx_plugin_spark.operators.rescore import rescore_topk
+
+    t, _ = _timed(
+        lambda: rescore_topk(
+            index,
+            toks,
+            [(0, ["hash", "join"]), (1, ["table", "scan"])],
+            {0: ["table", "hash"], 1: ["table", "table"]},
+            k=10,
+            window_size=25,
+            rescore_query_weight=2.0,
+            rescore_type="match_phrase",
+        ).count()
+    )
+    timings["rescore_topk_2q"] = round(t, 3)
+
+    # term suggester serving (round 6): one dictionary scan per call
+    # (levenshtein codegen), postings never read
+    from elasticsearch_approx_plugin_spark.operators.suggest import term_suggest
+
+    t, _ = _timed(
+        lambda: term_suggest(
+            index, [(0, "tabel"), (1, "windoe"), (2, "sprak")], size=3
+        ).count()
+    )
+    timings["term_suggest_3q"] = round(t, 3)
+
+    # function_score serving (round 6): uncapped base + decay combine
+    from elasticsearch_approx_plugin_spark.operators.function_score import (
+        function_score_topk,
+    )
+
+    t, _ = _timed(
+        lambda: function_score_topk(
+            index,
+            docs,
+            [(0, ["hash", "join"]), (1, ["table", "scan"])],
+            [{"gauss": {"field": "n_chars", "origin": 150.0, "scale": 50.0}}],
+            k=10,
+        ).count()
+    )
+    timings["function_score_2q"] = round(t, 3)
+
     index.postings.unpersist()
     index.dictionary.unpersist()
     return timings, extras

@@ -122,3 +122,71 @@ def stratified_sample(
             F.col(stratum_col) == label, F.lit(int(round(frac * BUCKETS)))
         ).otherwise(thresh)
     return df.filter(_hash_bucket(id_col, seed) < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    proportions: dict[str, float],
+    stratum_col: str = "source",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Sample to a target TOKEN mixture — the budgeted data-mixing
+    recipe (Pile/DoReMi-style: "the training set shall be 60% web,
+    30% code, 10% papers by tokens, at most B tokens total").
+
+    :func:`stratified_sample` takes per-stratum RATES; this computes
+    them. Per-stratum token totals come from ONE aggregation (strata
+    are domains — dozens of rows collect driver-side); the largest
+    total ``T`` satisfying both the proportions and the per-stratum
+    supply is ``min_s(tokens_s / p_s)`` (capped by ``token_budget``),
+    and each stratum keeps ``rate_s = p_s * T / tokens_s``. Rates
+    quantize to the hash-bucket grid by FLOOR (never exceed supply or
+    budget; floor — not banker's round — so any engine recomputing the
+    arithmetic lands on the identical threshold integer), then the
+    zero-shuffle :func:`stratified_sample` filter applies them — the
+    kept set stays a pure function of (id, seed): partitioning-,
+    cluster- and engine-invariant, and nested under budget increases
+    (a bigger budget only ADDS rows per stratum, so budget ladders for
+    scaling-law runs reuse shards).
+
+    Expected kept tokens approximate the targets (hash sampling is
+    Bernoulli by document, exact in expectation — the variance at
+    domain scale, millions of docs, is negligible); strata missing
+    from ``proportions`` are dropped. A target stratum with zero
+    supply raises — silence would ship a skewed mixture.
+    """
+    if not proportions or any(p <= 0 for p in proportions.values()):
+        raise ValueError(f"proportions must be positive: {proportions}")
+    if abs(sum(proportions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"proportions must sum to 1: {sum(proportions.values())}")
+    if token_budget is not None and token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    totals = {
+        r["s"]: r["tok"]
+        for r in df.filter(F.col(stratum_col).isin(list(proportions)))
+        .groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("tok"))
+        .collect()
+    }
+    empty = [s for s in proportions if not totals.get(s)]
+    if empty:
+        raise ValueError(f"target stratum(s) with no tokens: {sorted(empty)}")
+    t_max = min(totals[s] / p for s, p in proportions.items())
+    if token_budget is not None:
+        t_max = min(t_max, float(token_budget))
+    fractions = {
+        # floor-quantized to the bucket grid (see docstring)
+        s: int(p * t_max / totals[s] * BUCKETS) / BUCKETS
+        for s, p in proportions.items()
+    }
+    return stratified_sample(
+        df,
+        fractions,
+        stratum_col=stratum_col,
+        id_col=id_col,
+        seed=seed,
+        default_fraction=0.0,
+    )
