@@ -695,6 +695,41 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["core_facet_replay"] = _core_facet_replay
 
+    # percolate (round 6): reverse search — which registered queries
+    # match each document. One gate covers and / or / or-msm regimes.
+    def _percolate(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.percolate import (
+            percolate,
+            register_queries,
+        )
+
+        reg = register_queries(
+            spark,
+            [
+                (0, ["table", "hash"], "and", None),
+                (1, ["dup", "window", "spark"], "or", 2),
+                (2, ["zzznope", "dup"], "or", None),
+            ],
+        )
+        return percolate(_tokens(spark, sf), reg)
+
+    q["percolate"] = _percolate
+
+    # search_after (round 6): deep pagination by (score, doc_id)
+    # cursor — the gate takes page 2 after the rank-10 hit, which the
+    # oracle reproduces as ranks 11..20 of the full ordering.
+    def _search_after_page(spark, sf):
+        from elasticsearch_approx_plugin_spark.plans.search import search_topk
+
+        idx = _index(spark, sf)
+        req = {"query": {"match": {"text": "table hash"}}, "size": 10}
+        p1 = search_topk(idx, req).orderBy(F.desc("rank")).limit(1).collect()[0]
+        return search_topk(
+            idx, {**req, "search_after": [p1["score"], p1["doc_id"]]}
+        )
+
+    q["search_after_page"] = _search_after_page
+
     # mixture_sample (round 6): budgeted token-mixture sampling — the
     # rate solver (t_max = min over strata of supply/target, capped by
     # the budget; floor-quantized thresholds) recomputed verbatim by
@@ -2096,9 +2131,24 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verbatim with matched expression order (unit-tested in
         # test_sampling_filtering.py incl. nesting + invariance).
         "mixture_sample",
+        # round 6 (fifteenth batch, cont.): percolate registers in the
+        # TAIL (full hash oracle, locally sweep-verified): the
+        # inverted-intersection groupBy is the window-checked phrase-
+        # candidates shape (phrase/span gates) and the >= m
+        # distinct-matched-count gate is the in-window bool_msm
+        # arithmetic — only the role swap (registered-query side) is
+        # new, unit-tested in test_percolate.py.
+        "percolate",
+        # round 6 (fifteenth batch, cont.): search_after_page also
+        # registers in the TAIL (full hash oracle, locally
+        # sweep-verified): its scores are the window-checked scorer's
+        # own output, and the (score, doc_id) cursor filter is a
+        # two-term predicate provably equal to ranks 11..20 of the
+        # deterministic total order — the form the oracle recomputes.
+        "search_after_page",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 106, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 108, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2349,6 +2399,44 @@ SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
        coalesce(h.n, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
+"""
+
+# percolate: reverse search — distinct doc terms joined to the
+# exploded registered queries, >= min_match distinct hits gates
+_PERCOLATE = f"""
+WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK})),
+q AS (SELECT * FROM (VALUES (0, 'hash', 2), (0, 'table', 2),
+                            (1, 'dup', 2), (1, 'spark', 2), (1, 'window', 2),
+                            (2, 'dup', 1), (2, 'zzznope', 1))
+      AS q(query_id, term, need))
+SELECT doc_id, query_id::BIGINT AS query_id
+FROM tok JOIN q USING (term)
+GROUP BY 1, 2 HAVING count(*) >= min(need)
+"""
+
+# search_after: page 2 == ranks 11..20 of the full deterministic
+# (score desc, doc_id) ordering, re-ranked 1..10 within the page
+_SEARCH_AFTER_PAGE = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES ('hash'), ('table')) AS q(term)),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6) AS score
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats s GROUP BY 1
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scores
+)
+SELECT doc_id, score, (rn - 10)::BIGINT AS rank
+FROM ranked WHERE rn > 10 AND rn <= 20
 """
 
 # mixture_sample: per-stratum token totals -> t_max = least(supply/
@@ -3527,6 +3615,8 @@ FROM scored QUALIFY rank <= 10
         "decontaminate": _DECONTAMINATE,
         "stratified_sample": _STRATIFIED_SAMPLE,
         "mixture_sample": _MIXTURE_SAMPLE,
+        "percolate": _PERCOLATE,
+        "search_after_page": _SEARCH_AFTER_PAGE,
         "pii_redact": _pii_sql(),
         "token_chunk": _TOKEN_CHUNK,
         "pack_sequences": _PACK_SEQUENCES,

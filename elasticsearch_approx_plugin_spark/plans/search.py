@@ -605,7 +605,10 @@ def search_topk(
     to ``request_parser.parse_request`` for the facet side (the two
     compose; this function validates but ignores the ``facets`` key).
     """
-    known = {"query", "size", "from", "highlight", "facets", "sort", "rescore"}
+    known = {
+        "query", "size", "from", "highlight", "facets", "sort", "rescore",
+        "search_after",
+    }
     unknown = set(request) - known
     if unknown:
         raise ValueError(f"unsupported _search key(s) {sorted(unknown)}")
@@ -617,7 +620,32 @@ def search_topk(
         raise ValueError(f"size must be >= 1 and from >= 0, got {size}/{offset}")
     sort = request.get("sort")
     resc = request.get("rescore")
-    if resc is not None:
+    after = request.get("search_after")
+    if after is not None:
+        # deep pagination the way ES does it: a (score, doc_id) cursor
+        # — the last hit of the previous page under the deterministic
+        # relevance order (score desc, doc_id asc) — replaces from.
+        # O(page) state per page instead of from+size ranking ever
+        # deeper; the scorers compute all scores anyway, so the cursor
+        # filter drops rows BEFORE the ranking window.
+        if sort is not None or resc is not None:
+            raise ValueError("search_after supports the relevance order only")
+        if offset:
+            raise ValueError("search_after replaces from — use one or the other")
+        if not isinstance(after, (list, tuple)) or len(after) != 2:
+            raise ValueError("search_after must be [last_score, last_doc_id]")
+        s_a, d_a = round(float(after[0]), 6), int(after[1])
+        scored = _scored_hits(
+            index, request["query"], index.n_docs, tokens, docs, prune
+        ).drop("rank")
+        hits = _rank(
+            scored.filter(
+                (F.col("score") < s_a)
+                | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
+            ),
+            size,
+        )
+    elif resc is not None:
         if sort is not None:
             raise ValueError("rescore does not combine with sort (sort replaces relevance)")
         if tokens is None:
