@@ -676,6 +676,26 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terms_stats_facet"] = _terms_stats_facet
 
+    # geo_distance facet (round 6): haversine (ES ARC distance) over
+    # coordinates derived DETERMINISTICALLY from the events table (no
+    # external data) — overlapping km ranges + value stats, the
+    # audited range-facet machinery on the computed distance.
+    def _geo_distance_facet(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.geo import geo_distance_facet
+
+        ev = _events(spark, sf).select(
+            ((F.col("user_id") % 180) - 90 + 0.5).cast("double").alias("lat"),
+            ((F.col("event_id") % 360) - 180 + 0.5).cast("double").alias("lon"),
+            "value",
+        )
+        return geo_distance_facet(
+            ev, "lat", "lon", 0.0, 0.0,
+            [(None, 5000.0), (2500.0, 12000.0), (19000.0, None)],
+            value_field="value",
+        )
+
+    q["geo_distance_facet"] = _geo_distance_facet
+
     def _core_facet_replay(spark, sf):
         # a core facet under an enclosing query replays through the
         # same parse_request as the plugin facets: the query lowers to
@@ -2146,9 +2166,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-term predicate provably equal to ranks 11..20 of the
         # deterministic total order — the form the oracle recomputes.
         "search_after_page",
+        # round 6 (fifteenth batch, cont.): geo_distance_facet also
+        # registers in the TAIL (full hash oracle, locally
+        # sweep-verified): the bucket machinery is the sweep-verified
+        # range_facet (stats in-window via statistical_facet), and the
+        # haversine closed form is per-row arithmetic the oracle
+        # recomputes with matched expression order and a 6-dp round
+        # BEFORE membership — the function_score precedent.
+        "geo_distance_facet",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 108, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 109, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2400,6 +2428,42 @@ SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
 """
+
+# geo_distance facet: haversine (identical expression order to the
+# operator: cos·cos premultiplied 1.0 at origin (0,0), 2R precomputed,
+# least-clamp, 6-dp round BEFORE membership) over derived coords
+_GEO_RANGES = [
+    ("CAST(NULL AS DOUBLE)", "5000.0", "dist < 5000.0"),
+    ("2500.0", "12000.0", "dist >= 2500.0 AND dist < 12000.0"),
+    ("19000.0", "CAST(NULL AS DOUBLE)", "dist >= 19000.0"),
+]
+_GEO_DISTANCE_FACET = (
+    """
+WITH pts AS (
+  SELECT ((user_id % 180) - 90 + 0.5)::DOUBLE AS lat,
+         ((event_id % 360) - 180 + 0.5)::DOUBLE AS lon, value
+  FROM events
+),
+d AS (
+  SELECT round(2 * 6371.0087714 * asin(sqrt(least(
+           pow(sin(radians(lat) / 2), 2)
+           + cos(radians(lat)) * 1.0 * pow(sin(radians(lon) / 2), 2), 1.0))), 6) AS dist,
+         value
+  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+)
+"""
+    + " UNION ALL ".join(
+        f"""
+        SELECT {lo} AS range_from, {hi} AS range_to,
+               count(*)::BIGINT AS count, count(value)::BIGINT AS total_count,
+               round(min(value), 6) AS min, round(max(value), 6) AS max,
+               round(sum(value), 6) AS total,
+               round(sum(value) / count(value), 6) AS mean
+        FROM d WHERE {cond}
+        """
+        for lo, hi, cond in _GEO_RANGES
+    )
+)
 
 # percolate: reverse search — distinct doc terms joined to the
 # exploded registered queries, >= min_match distinct hits gates
@@ -3617,6 +3681,7 @@ FROM scored QUALIFY rank <= 10
         "mixture_sample": _MIXTURE_SAMPLE,
         "percolate": _PERCOLATE,
         "search_after_page": _SEARCH_AFTER_PAGE,
+        "geo_distance_facet": _GEO_DISTANCE_FACET,
         "pii_redact": _pii_sql(),
         "token_chunk": _TOKEN_CHUNK,
         "pack_sequences": _PACK_SEQUENCES,
