@@ -676,6 +676,24 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terms_stats_facet"] = _terms_stats_facet
 
+    def _filter_facet_count(spark, sf):
+        # the last two ES 0.90 facet types (filter + query facets):
+        # one count under an enclosing query, replayed end-to-end
+        from elasticsearch_approx_plugin_spark.plans.request_parser import (
+            parse_request,
+        )
+
+        ev = _events(spark, sf)
+        specs = parse_request(
+            {
+                "query": {"range": {"value": {"gte": 10.0, "lt": 200.0}}},
+                "facets": {"errs": {"filter": {"term": {"event_type": "error"}}}},
+            }
+        )
+        return specs["errs"].run(ev, global_df=ev)
+
+    q["filter_facet_count"] = _filter_facet_count
+
     # geo_distance facet (round 6): haversine (ES ARC distance) over
     # coordinates derived DETERMINISTICALLY from the events table (no
     # external data) — overlapping km ranges + value stats, the
@@ -2174,9 +2192,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recomputes with matched expression order and a 6-dp round
         # BEFORE membership — the function_score precedent.
         "geo_distance_facet",
+        # round 6 (fifteenth batch, cont.): filter_facet_count also
+        # registers in the TAIL (full hash oracle, locally
+        # sweep-verified): it is ONE count over the window-checked
+        # lower_query/lower_filter lowering (query_clause_replay,
+        # date_facet_filter_replay) — completing the ES 0.90 facet
+        # family (filter + query facets) with no new arithmetic.
+        "filter_facet_count",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 109, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 110, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -3682,6 +3707,8 @@ FROM scored QUALIFY rank <= 10
         "percolate": _PERCOLATE,
         "search_after_page": _SEARCH_AFTER_PAGE,
         "geo_distance_facet": _GEO_DISTANCE_FACET,
+        "filter_facet_count": "SELECT count(*)::BIGINT AS count FROM events "
+        "WHERE value >= 10.0 AND value < 200.0 AND event_type = 'error'",
         "pii_redact": _pii_sql(),
         "token_chunk": _TOKEN_CHUNK,
         "pack_sequences": _PACK_SEQUENCES,

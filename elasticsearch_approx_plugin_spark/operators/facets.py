@@ -283,6 +283,21 @@ def range_facet(
     )
 
 
+def filter_facet(df: DataFrame, predicate: Column) -> DataFrame:
+    """ES filter facet → one row ``(count)``: how many docs in the
+    facet scope match the filter. A single partial-aggregating count —
+    the predicate fuses into the scan (pushdown-eligible)."""
+    return df.filter(predicate).agg(F.count("*").cast("long").alias("count"))
+
+
+def query_facet(df: DataFrame, predicate: Column) -> DataFrame:
+    """ES query facet — identical to :func:`filter_facet` here: the
+    0.90 query facet counts query-matched docs, and this engine lowers
+    filter-context queries to predicates (``lower_query``); scored
+    queries have no count-changing effect."""
+    return filter_facet(df, predicate)
+
+
 def terms_stats_facet(
     df: DataFrame,
     key_field: str,

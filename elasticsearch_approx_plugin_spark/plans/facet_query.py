@@ -202,13 +202,17 @@ class CoreFacetQuery:
     nested: str | None = None
     global_facet: bool = False
 
-    # which params name fields (subject to the nested re-aliasing)
+    # which params name fields (subject to the nested re-aliasing);
+    # filter/query facets carry a lowered predicate instead of fields,
+    # so they cannot re-alias under a nested scope (raise below)
     _FIELD_PARAMS = {
         "terms": ("field",),
         "statistical": ("field",),
         "histogram": ("key_field", "value_field"),
         "range": ("field", "value_field"),
         "terms_stats": ("key_field", "value_field"),
+        "filter": (),
+        "query": (),
     }
 
     def run(self, df: DataFrame, global_df: DataFrame | None = None) -> DataFrame:
@@ -222,6 +226,11 @@ class CoreFacetQuery:
             df = df.filter(self.filter)
         params = dict(self.params)
         if self.nested is not None:
+            if not self._FIELD_PARAMS[self.kind]:
+                raise ValueError(
+                    f"nested {self.kind} facet is not supported: the lowered "
+                    "predicate references root-scope columns"
+                )
             names = {k: params.get(k) for k in self._FIELD_PARAMS[self.kind]}
             df, names = _explode_nested(df, self.nested, names)
             params.update({k: v for k, v in names.items() if k in params})
@@ -231,6 +240,8 @@ class CoreFacetQuery:
             "histogram": core.histogram_facet,
             "range": core.range_facet,
             "terms_stats": core.terms_stats_facet,
+            "filter": core.filter_facet,
+            "query": core.query_facet,
         }[self.kind]
         return fn(df, **params)
 

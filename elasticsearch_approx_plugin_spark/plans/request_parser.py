@@ -92,7 +92,9 @@ def parse_term_list(clause: dict[str, Any], mode: str = "collector") -> TermList
     return TermListQuery(**kwargs)
 
 
-_CORE_FACET_KINDS = ("terms", "statistical", "histogram", "range", "terms_stats")
+_CORE_FACET_KINDS = (
+    "terms", "statistical", "histogram", "range", "terms_stats", "filter", "query",
+)
 
 
 def parse_core_facet(kind: str, body: dict[str, Any]) -> CoreFacetQuery:
@@ -180,6 +182,14 @@ def parse_core_facet(kind: str, body: dict[str, Any]) -> CoreFacetQuery:
             params["size"] = 0  # ES all_terms overrides size
         if "key_field" not in params or "value_field" not in params:
             raise ValueError("terms_stats facet requires key_field and value_field")
+    elif kind == "filter":
+        # the facet body IS a filter DSL clause (ES filter facet)
+        params["predicate"] = lower_filter(body)
+    elif kind == "query":
+        # the facet body IS a query clause; filter-context shapes lower,
+        # match_all counts everything (lower_query returns None there)
+        pred = lower_query(body)
+        params["predicate"] = F.lit(True) if pred is None else pred
     else:
         raise ValueError(f"unknown core facet kind {kind!r}")
     return CoreFacetQuery(kind=kind, params=params)

@@ -347,3 +347,35 @@ def test_core_facet_parse_strictness(spark):
                                         "statistical": {"field": "y"}}}})
     with pytest.raises(ValueError):  # mode is a term_list key
         parse_request({"facets": {"f": {"terms": {"field": "x"}, "mode": "post"}}})
+
+
+def test_filter_and_query_facets(spark, sf_dir):
+    from elasticsearch_approx_plugin_spark.plans.request_parser import parse_request
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    specs = parse_request(
+        {
+            "query": {"range": {"value": {"gte": 10.0, "lt": 200.0}}},
+            "facets": {
+                "errs": {"filter": {"term": {"event_type": "error"}}},
+                "all": {"query": {"match_all": {}}},
+                "glob_errs": {
+                    "filter": {"term": {"event_type": "error"}},
+                    "global": True,
+                },
+            },
+        }
+    )
+    filt = ev.filter((F.col("value") >= 10.0) & (F.col("value") < 200.0))
+    want = filt.filter(F.col("event_type") == "error").count()
+    assert specs["errs"].run(ev, global_df=ev).collect()[0]["count"] == want
+    assert specs["all"].run(ev, global_df=ev).collect()[0]["count"] == filt.count()
+    # global ignores the enclosing query
+    got_glob = specs["glob_errs"].run(filt, global_df=ev).collect()[0]["count"]
+    assert got_glob == ev.filter(F.col("event_type") == "error").count()
+    # nested filter facet raises (predicate is root-scope)
+    nested = parse_request(
+        {"facets": {"f": {"filter": {"term": {"event_type": "x"}}, "nested": "p"}}}
+    )
+    with pytest.raises(ValueError):
+        nested["f"].run(ev, global_df=ev)
