@@ -768,6 +768,48 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_after_page"] = _search_after_page
 
+    # streaming percolator (round 6): the same three registered
+    # queries matched continuously — stateless per-row rule evaluation
+    # (broadcast literal rules), append mode, availableNow micro-
+    # batches; matches are batch-independent so the BATCH oracle
+    # (_PERCOLATE) checks the full stream output.
+    def _streaming_percolate(spark, sf):
+        from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+        from elasticsearch_approx_plugin_spark.operators.percolate import (
+            register_queries,
+        )
+        from elasticsearch_approx_plugin_spark.streaming.percolate import (
+            streaming_percolate,
+        )
+
+        reg = register_queries(
+            spark,
+            [
+                (0, ["table", "hash"], "and", None),
+                (1, ["dup", "window", "spark"], "or", 2),
+                (2, ["zzznope", "dup"], "or", None),
+            ],
+        )
+        stream = _stream_table(spark, sf, "documents").select(
+            "doc_id", tokenize_ws("text").alias("tokens")
+        )
+        name = "stream_percolate_gate"
+        for active in spark.streams.active:
+            if active.name == name:
+                active.stop()
+        query = (
+            streaming_percolate(stream, reg)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(name).select("doc_id", "query_id")
+
+    q["streaming_percolate"] = _streaming_percolate
+
     # mixture_sample (round 6): budgeted token-mixture sampling — the
     # rate solver (t_max = min over strata of supply/target, capped by
     # the budget; floor-quantized thresholds) recomputed verbatim by
@@ -2199,9 +2241,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # date_facet_filter_replay) — completing the ES 0.90 facet
         # family (filter + query facets) with no new arithmetic.
         "filter_facet_count",
+        # round 6 (fifteenth batch, cont.): streaming_percolate also
+        # registers in the TAIL (full hash oracle — the batch
+        # _PERCOLATE statement, since per-doc matches are
+        # batch-independent): the rule evaluation is a stateless
+        # projection pytest-asserted EQUAL to the gated batch operator
+        # on the same frame, and the availableNow/memory-sink plumbing
+        # is the window-checked streaming gates' own shape.
+        "streaming_percolate",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 110, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 111, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -3705,6 +3755,9 @@ FROM scored QUALIFY rank <= 10
         "stratified_sample": _STRATIFIED_SAMPLE,
         "mixture_sample": _MIXTURE_SAMPLE,
         "percolate": _PERCOLATE,
+        # matches are per-doc and batch-independent: the stream's full
+        # output equals the batch percolation of the same corpus
+        "streaming_percolate": _PERCOLATE,
         "search_after_page": _SEARCH_AFTER_PAGE,
         "geo_distance_facet": _GEO_DISTANCE_FACET,
         "filter_facet_count": "SELECT count(*)::BIGINT AS count FROM events "

@@ -121,3 +121,72 @@ def test_search_after_pagination(spark, docs):
             {**req, "search_after": cursor, "sort": [{"doc_id": "asc"}]},
             docs=docs,
         )
+
+
+def test_streaming_percolate_equals_batch(spark, docs):
+    from elasticsearch_approx_plugin_spark.streaming.percolate import (
+        streaming_percolate,
+    )
+
+    reg = register_queries(
+        spark,
+        [
+            (0, ["error", "disk"], "and", None),
+            (1, ["network", "timeout"], "or", None),
+            (2, ["error", "disk", "node"], "or", 2),
+        ],
+    )
+    # the projection is batch/stream-agnostic: on a batch frame it must
+    # equal the batch join operator exactly
+    got = {(r["doc_id"], r["query_id"]) for r in streaming_percolate(docs, reg).collect()}
+    assert got == _matches(docs, reg)
+
+
+def test_streaming_percolate_stream_run(spark, sf_dir, tmp_path):
+    import os
+
+    from elasticsearch_approx_plugin_spark.functions.tokenize import tokenize_ws
+    from elasticsearch_approx_plugin_spark.streaming.percolate import (
+        streaming_percolate,
+    )
+
+    reg = register_queries(
+        spark, [(0, ["table", "hash"], "and", None), (1, ["dup"], "or", None)]
+    )
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.parquet(path)
+        if os.path.isdir(path)
+        else reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    )
+    toks = stream.select("doc_id", tokenize_ws("text").alias("tokens"))
+    name = "stream_percolate_test"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    q = (
+        streaming_percolate(toks, reg)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["doc_id"], r["query_id"]) for r in spark.table(name).collect()}
+    batch = spark.read.parquet(path).select(
+        "doc_id", tokenize_ws("text").alias("tokens")
+    )
+    assert got == _matches(batch, reg) and got
+
+
+def test_streaming_percolate_validation(spark, docs):
+    from elasticsearch_approx_plugin_spark.streaming.percolate import (
+        streaming_percolate,
+    )
+
+    empty = register_queries(spark, [(0, ["x"], "or", None)]).filter("query_id < 0")
+    with pytest.raises(ValueError):
+        streaming_percolate(docs, empty)
