@@ -768,6 +768,23 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_after_page"] = _search_after_page
 
+    # common terms query (round 6): df-partitioned matching — low
+    # group drives the match set, high group scores only on it; one
+    # low+high query and one degraded all-high query under one gate.
+    def _common_terms_topk(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.common_terms import (
+            common_terms_topk,
+        )
+
+        return common_terms_topk(
+            _index(spark, sf),
+            [(0, ["dup", "table", "hash"]), (1, ["table", "scan"])],
+            k=K,
+            cutoff_frequency=0.1,
+        )
+
+    q["common_terms_topk"] = _common_terms_topk
+
     # streaming percolator (round 6): the same three registered
     # queries matched continuously — stateless per-row rule evaluation
     # (broadcast literal rules), append mode, availableNow micro-
@@ -2249,9 +2266,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on the same frame, and the availableNow/memory-sink plumbing
         # is the window-checked streaming gates' own shape.
         "streaming_percolate",
+        # round 6 (sixteenth batch): common_terms_topk registers in the
+        # TAIL (full hash oracle, locally sweep-verified): group scores
+        # are the window-checked scorer's own 6-dp output, the
+        # sum-with-left-join-gating combine is the in-window
+        # search_bool arithmetic shape, and the df classification is
+        # a term_cache lookup the oracle recomputes FROM THE DATA —
+        # only the partition rule (unit-tested, both regimes under the
+        # one gate) is new.
+        "common_terms_topk",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 111, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 112, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2502,6 +2528,46 @@ SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
        coalesce(h.n, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
+"""
+
+# common terms: classification recomputed FROM THE DATA (df/n > 0.1
+# -> high), low-group sums drive the match set, high sums left-join in
+_COMMON_TERMS_TOPK = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES (0, 'dup'), (0, 'hash'), (0, 'table'),
+                             (1, 'scan'), (1, 'table')) AS qt(query_id, term)),
+cls AS (
+  SELECT qt.query_id, qt.term,
+         CASE WHEN d.df / s.n > 0.1 THEN 1 ELSE 0 END AS hi
+  FROM qt JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+persc AS (
+  SELECT c.query_id, c.hi, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM cls c JOIN tf ON tf.term = c.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq d ON d.term = c.term CROSS JOIN stats s
+),
+lo AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS s
+       FROM persc WHERE hi = 0 GROUP BY 1, 2),
+hi AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS s
+       FROM persc WHERE hi = 1 GROUP BY 1, 2),
+haslow AS (SELECT DISTINCT query_id FROM cls WHERE hi = 0),
+comb AS (
+  SELECT l.query_id, l.doc_id, round(l.s + coalesce(h.s, 0), 6) AS score
+  FROM lo l LEFT JOIN hi h ON h.query_id = l.query_id AND h.doc_id = l.doc_id
+  UNION ALL
+  SELECT h.query_id, h.doc_id, h.s FROM hi h
+  WHERE h.query_id NOT IN (SELECT query_id FROM haslow)
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+FROM comb QUALIFY rank <= {K}
 """
 
 # geo_distance facet: haversine (identical expression order to the
@@ -3760,6 +3826,7 @@ FROM scored QUALIFY rank <= 10
         "streaming_percolate": _PERCOLATE,
         "search_after_page": _SEARCH_AFTER_PAGE,
         "geo_distance_facet": _GEO_DISTANCE_FACET,
+        "common_terms_topk": _COMMON_TERMS_TOPK,
         "filter_facet_count": "SELECT count(*)::BIGINT AS count FROM events "
         "WHERE value >= 10.0 AND value < 200.0 AND event_type = 'error'",
         "pii_redact": _pii_sql(),
