@@ -47,6 +47,9 @@ term clauses
 ``function_score``    ``function_score.apply_functions`` over ANY
                       inner scored query (uncapped — decay re-ranks
                       everything; needs ``docs`` for the fields)
+``common``            ``common_terms.common_terms_topk`` —
+                      df-partitioned matching (low group matches,
+                      high group scores)
 ====================  =================================================
 
 A top-level ``rescore`` block re-scores the base query's top
@@ -556,6 +559,41 @@ def _scored_hits(
             )
         )
 
+    if kind == "common":
+        # Lucene CommonTermsQuery (the stopword-free frequent-term
+        # query) — semantics in operators/common_terms.py
+        from ..operators.common_terms import common_terms_topk
+
+        fld, spec = _field_body(body, "common")
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise ValueError("common query requires a {field: {query: ...}} body")
+        unknown = set(spec) - {
+            "query", "cutoff_frequency", "low_freq_operator",
+            "high_freq_operator", "minimum_should_match",
+        }
+        if unknown:
+            raise ValueError(f"common query: unsupported option(s) {sorted(unknown)}")
+        terms = _analyze(str(spec["query"]))
+        if not terms:
+            raise ValueError("common query analyzed to zero terms")
+        msm = spec.get("minimum_should_match")
+        if isinstance(msm, dict):
+            unknown = set(msm) - {"low_freq"}
+            if unknown:
+                raise ValueError(
+                    f"common minimum_should_match: unsupported key(s) {sorted(unknown)}"
+                )
+            msm = msm["low_freq"]
+        return common_terms_topk(
+            index,
+            [(0, terms)],
+            k,
+            cutoff_frequency=float(spec.get("cutoff_frequency", 0.01)),
+            low_freq_operator=spec.get("low_freq_operator", "or"),
+            high_freq_operator=spec.get("high_freq_operator", "or"),
+            minimum_should_match=int(msm) if msm is not None else None,
+        )
+
     if kind == "function_score":
         # decay/boost functions over ANY inner scored query — the
         # inner query scores UNCAPPED (functions re-rank everything),
@@ -586,7 +624,7 @@ def _scored_hits(
         f"unsupported search query type {kind!r} (supported: match, match_phrase, "
         "term, terms, match_all, ids, prefix, fuzzy, wildcard, regexp, "
         "more_like_this, query_string, bool, dis_max, boosting, "
-        "span_near, span_first, constant_score, filtered, function_score)"
+        "span_near, span_first, constant_score, filtered, function_score, common)"
     )
 
 

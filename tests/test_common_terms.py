@@ -93,3 +93,26 @@ def test_validation(index):
         common_terms_topk(index, [])
     with pytest.raises(ValueError):
         common_terms_topk(index, [(1, ["x"])], minimum_should_match=0)
+
+
+def test_search_dispatch_common(index):
+    from elasticsearch_approx_plugin_spark.plans.search import search_topk
+
+    got = sorted(
+        map(tuple, search_topk(
+            index,
+            {"query": {"common": {"text": {
+                "query": "the query", "cutoff_frequency": 0.5}}}},
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, common_terms_topk(
+            index, [(0, ["the", "query"])], 10, cutoff_frequency=0.5
+        ).drop("query_id").collect())
+    )
+    assert got == want and got
+    with pytest.raises(ValueError):
+        search_topk(index, {"query": {"common": {"text": "plain string"}}})
+    with pytest.raises(ValueError):
+        search_topk(index, {"query": {"common": {"text": {
+            "query": "x", "bogus": 1}}}})
