@@ -188,7 +188,12 @@ def histogram_facet(
     if interval <= 0:
         raise ValueError("histogram interval must be positive")
     k = F.col(key_field).cast("double")
-    key = (F.floor(k / F.lit(float(interval))) * F.lit(interval)).cast("long")
+    # the long key is FLOOR of the bucket start, not a long cast: for a
+    # fractional interval the start (e.g. -14 × 10.33 = -144.62) is not
+    # integral, and a cast truncates toward zero in Spark but rounds in
+    # other engines — floor is the one convention every engine shares
+    # (exact-product intervals are unaffected)
+    key = F.floor(F.floor(k / F.lit(float(interval))) * F.lit(interval))
     base = df.filter(k.isNotNull()).select(
         key.alias("key"),
         *([F.col(value_field).cast("double").alias("__v__")] if value_field else []),
