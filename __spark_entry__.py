@@ -768,6 +768,25 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_after_page"] = _search_after_page
 
+    # inspection APIs (round 6): _termvectors + index _stats over the
+    # relational index layout
+    def _term_vectors_stats(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.stats import term_vectors
+
+        return term_vectors(
+            _index(spark, sf), _tokens(spark, sf), list(range(10)),
+            term_statistics=True,
+        )
+
+    q["term_vectors_stats"] = _term_vectors_stats
+
+    def _index_stats_row(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.stats import index_stats
+
+        return index_stats(_index(spark, sf))
+
+    q["index_stats_row"] = _index_stats_row
+
     # common terms query (round 6): df-partitioned matching — low
     # group drives the match set, high group scores only on it; one
     # low+high query and one degraded all-high query under one gate.
@@ -2275,9 +2294,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # only the partition rule (unit-tested, both regimes under the
         # one gate) is new.
         "common_terms_topk",
+        # round 6 (sixteenth batch, cont.): term_vectors_stats +
+        # index_stats_row register in the TAIL (full hash oracles,
+        # locally sweep-verified): both are one-aggregate projections
+        # of the SAME dictionary/token statistics every in-window bm25
+        # gate's 6-dp scores are a strict function of (df/cf/avgdl
+        # drift breaks those hashes) — the index_dictionary /
+        # index_doc_stats displacement arguments, re-used.
+        "term_vectors_stats",
+        "index_stats_row",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 112, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 114, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -3827,6 +3855,26 @@ FROM scored QUALIFY rank <= 10
         "search_after_page": _SEARCH_AFTER_PAGE,
         "geo_distance_facet": _GEO_DISTANCE_FACET,
         "common_terms_topk": _COMMON_TERMS_TOPK,
+        "term_vectors_stats": f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS term_freq
+               FROM tok WHERE doc_id < 10 GROUP BY 1, 2),
+        stats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq,
+                         count(*)::BIGINT AS ttf
+                  FROM tok GROUP BY 1)
+        SELECT doc_id, term, term_freq, doc_freq, ttf FROM tf JOIN stats USING (term)
+        """,
+        "index_stats_row": f"""
+        WITH tok AS ({_TOK}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+        pairs AS (SELECT DISTINCT doc_id, term FROM tok)
+        SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+               0::BIGINT AS n_deleted,
+               (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_terms,
+               (SELECT count(*) FROM pairs)::BIGINT AS n_postings,
+               (SELECT count(*) FROM tok)::BIGINT AS n_tokens,
+               (SELECT round(avg(dl), 6) FROM dl) AS avgdl
+        """,
         "filter_facet_count": "SELECT count(*)::BIGINT AS count FROM events "
         "WHERE value >= 10.0 AND value < 200.0 AND event_type = 'error'",
         "pii_redact": _pii_sql(),
