@@ -148,3 +148,58 @@ def test_partitioning_invariance(index, corpus, spark):
                      window_size=6, rescore_type="match_phrase")
     )
     assert a == b
+
+
+def test_rescore_randomized_vs_composed_reference(spark):
+    """On random corpora/weights, rescore_topk equals the composition
+    of its gated ingredients: score_queries (base + rescore scores) and
+    phrase_match (the gate) — the combine identity, checked broadly."""
+    import random
+
+    from elasticsearch_approx_plugin_spark.operators.phrase import phrase_match
+
+    rng = random.Random(21)
+    vocab = ["red", "blue", "green", "dot"]
+    for trial in range(3):
+        corpus = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 9))))
+                for i in range(30)
+            ],
+            "doc_id long, text string",
+        ).select("doc_id", tokenize_ws("text").alias("tokens"))
+        idx = build_index(corpus, range_bits=9)
+        qterms = rng.sample(vocab, 2)
+        phrase = [rng.choice(vocab), rng.choice(vocab)]
+        window, k = 12, 8
+        qw, rqw = round(rng.uniform(0.5, 2.0), 2), round(rng.uniform(0.0, 4.0), 2)
+        got = {
+            (r["doc_id"],): r["score"]
+            for r in rescore_topk(
+                idx, corpus, [(0, qterms)], {0: phrase}, k=k, window_size=window,
+                query_weight=qw, rescore_query_weight=rqw,
+                rescore_type="match_phrase",
+            ).collect()
+        }
+        base = {
+            r["doc_id"]: r["score"]
+            for r in score_queries(idx, [(0, qterms)], window).collect()
+        }
+        resc = {
+            r["doc_id"]: r["score"]
+            for r in score_queries(idx, [(0, sorted(set(phrase)))], 1000).collect()
+        }
+        matched = {
+            r["doc_id"]
+            for r in phrase_match(idx, corpus, [(0, phrase)]).collect()
+        }
+        want = {
+            d: round(qw * b + rqw * (resc.get(d, 0.0) if d in matched else 0.0), 6)
+            for d, b in base.items()
+        }
+        expect = dict(
+            sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        )
+        assert {d: s for (d,), s in got.items()} == pytest.approx(expect, abs=2e-6), (
+            trial, qterms, phrase, qw, rqw,
+        )
