@@ -795,11 +795,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             common_terms_topk,
         )
 
+        # corpus passed -> the SCALE path (row-local high-group fold
+        # over candidate token arrays; hot postings never scanned),
+        # pytest-asserted equal to the postings path
         return common_terms_topk(
             _index(spark, sf),
             [(0, ["dup", "table", "hash"]), (1, ["table", "scan"])],
             k=K,
             cutoff_frequency=0.1,
+            corpus=_tokens(spark, sf),
         )
 
     q["common_terms_topk"] = _common_terms_topk

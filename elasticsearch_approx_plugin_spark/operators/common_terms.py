@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .bm25 import score_queries
+from .bm25 import _idf, score_queries
 from .postings import InvertedIndex
 from .rescore import _warm_df
 
@@ -45,6 +45,9 @@ def common_terms_topk(
     low_freq_operator: str = "or",
     high_freq_operator: str = "or",
     minimum_should_match: int | None = None,
+    corpus: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """common-query top-k → (query_id, doc_id, score, rank).
 
@@ -52,6 +55,14 @@ def common_terms_topk(
     ``minimum_should_match.low_freq``); ``low_freq_operator="and"``
     means every low term. The high group's operator only matters in
     the all-high degraded case.
+
+    ``corpus`` (doc_id, tokens) switches the high group to the SCALE
+    path: instead of scanning the hot terms' (corpus-sized) postings
+    and semi-joining, the candidates join the corpus once and the high
+    BM25 folds ROW-LOCALLY over their token arrays (the phrase_topk /
+    rescore fold — identical 6-dp scores, asserted in tests), so the
+    high group costs O(candidates), Lucene's CommonTermsQuery story.
+    Without ``corpus`` the postings path runs (same results).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -95,7 +106,58 @@ def common_terms_topk(
         low_scores = score_queries(
             index, low_q, k=index.n_docs, minimum_should_match=low_msm
         ).select("query_id", "doc_id", F.col("score").alias("_lo"))
-        if high_q:
+        if high_q and corpus is not None:
+            # scale path: high BM25 folds row-locally over the
+            # candidates' token arrays — hot postings never scanned
+            spark = corpus.sparkSession
+            payload = spark.createDataFrame(
+                [
+                    (
+                        qid,
+                        [
+                            (t, _idf(index.n_docs, cache[t][0]))
+                            for t in hts
+                            if cache[t][0] > 0
+                        ],
+                    )
+                    for qid, hts in high_q
+                ],
+                "query_id long, qidf array<struct<term: string, idf: double>>",
+            )
+            docs = corpus.select(
+                F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+            )
+            avgdl = index.avgdl or 1.0
+            k1, b = index.k1, index.b
+            toks = F.col("_toks")
+            dl = F.size(toks).cast("double")
+
+            def _contrib(s):
+                tf = F.size(F.filter(toks, lambda x: x == s["term"])).cast("double")
+                return s["idf"] * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))
+                )
+
+            hi = F.round(
+                F.aggregate(F.col("qidf"), F.lit(0.0), lambda a, s: a + _contrib(s)),
+                6,
+            )
+            combined = (
+                low_scores.join(docs, "doc_id")
+                .join(F.broadcast(payload), "query_id", "left")
+                .select(
+                    "query_id",
+                    "doc_id",
+                    F.round(
+                        F.col("_lo")
+                        + F.coalesce(
+                            F.when(F.col("qidf").isNotNull(), hi), F.lit(0.0)
+                        ),
+                        6,
+                    ).alias("score"),
+                )
+            )
+        elif high_q:
             high_scores = score_queries(index, high_q, k=index.n_docs).select(
                 "query_id", "doc_id", F.col("score").alias("_hi")
             )

@@ -116,3 +116,27 @@ def test_search_dispatch_common(index):
     with pytest.raises(ValueError):
         search_topk(index, {"query": {"common": {"text": {
             "query": "x", "bogus": 1}}}})
+
+
+def test_scale_path_equals_postings_path(index, spark):
+    # the row-local fold over candidate token arrays must reproduce the
+    # postings path bit-for-bit (6-dp), across regimes
+    rows = [
+        (0, "the fast query engine the"),
+        (1, "the fast table"),
+        (2, "the slow query"),
+        (3, "the the the scan"),
+        (4, "the engine"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tokenize_ws("text").alias("tokens")
+    )
+    for queries, kw in [
+        ([(1, ["the", "query"])], dict(cutoff_frequency=0.5)),
+        ([(3, ["fast", "query", "the"])],
+         dict(cutoff_frequency=0.5, low_freq_operator="and")),
+        ([(1, ["the", "query"]), (2, ["the"])], dict(cutoff_frequency=0.5)),
+    ]:
+        a = _rows(common_terms_topk(index, queries, k=5, **kw))
+        b = _rows(common_terms_topk(index, queries, k=5, corpus=corpus, **kw))
+        assert a == b, (queries, kw)
