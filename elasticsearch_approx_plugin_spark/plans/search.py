@@ -592,6 +592,7 @@ def _scored_hits(
             low_freq_operator=spec.get("low_freq_operator", "or"),
             high_freq_operator=spec.get("high_freq_operator", "or"),
             minimum_should_match=int(msm) if msm is not None else None,
+            corpus=tokens,  # scale path when available (None = postings path)
         )
 
     if kind == "function_score":
