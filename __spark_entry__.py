@@ -601,6 +601,23 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_suggest"] = _term_suggest
 
+    # phrase suggester (round 6): whole-phrase did-you-mean — per-token
+    # term-suggester candidates chained and ranked by the in-corpus
+    # bigram LM ("tabel scna" -> "table scan" because that transition
+    # exists in the corpus). 3 chains under the hash: both single-token
+    # corrections and the double correction.
+    def _phrase_suggest_gate(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.phrase_suggest import (
+            phrase_suggest,
+        )
+
+        return phrase_suggest(
+            _index(spark, sf), _tokens(spark, sf), "tabel scna",
+            size=3, candidates_per_token=2,
+        )
+
+    q["phrase_suggest"] = _phrase_suggest_gate
+
     # function_score (round 6): gaussian distance decay on n_chars
     # multiplied into the BM25 base — re-ranks EVERY match (uncapped
     # base), the ES function_score semantics. decay=0.5 at distance
@@ -2307,9 +2324,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index_doc_stats displacement arguments, re-used.
         "term_vectors_stats",
         "index_stats_row",
+        # round 6 (sixteenth batch, cont.): phrase_suggest registers in
+        # the TAIL (full hash oracle, locally sweep-verified): it
+        # composes two gated mechanisms — the term suggester's
+        # candidate ranking (term_suggest, tail-verified, fuzzy_topk's
+        # expansion in-window) and the bigram-LM smoothing arithmetic
+        # (ngram_lm_score, in-window) — and the oracle recomputes the
+        # whole chain-enumeration + scoring verbatim.
+        "phrase_suggest",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 114, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 115, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2560,6 +2585,56 @@ SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
        coalesce(h.n, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
+"""
+
+# phrase suggester: per-position candidate selection (the term
+# suggester's similarity/df/term ranking), chain enumeration minus the
+# identity, single-transition bigram-LM score with the lm.py smoothing
+_PHRASE_SUGGEST = f"""
+WITH tok AS ({_TOK}),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+inp AS (SELECT * FROM (VALUES (0, 'tabel'), (1, 'scna')) AS inp(pos, input)),
+cand AS (
+  SELECT pos, d.term AS c,
+         row_number() OVER (PARTITION BY pos ORDER BY
+           round(1 - levenshtein(d.term, input)::DOUBLE
+                 / greatest(length(input), length(d.term)), 6) DESC,
+           df DESC, d.term) AS rn
+  FROM inp JOIN d ON d.term <> inp.input
+   AND starts_with(d.term, inp.input[1:1])
+   AND levenshtein(d.term, inp.input) <= 2
+),
+sel AS (SELECT pos, input AS c FROM inp
+        UNION ALL SELECT pos, c FROM cand WHERE rn <= 1),
+chains AS (
+  SELECT a.c || ' ' || b.c AS suggestion, a.c AS w1, b.c AS w2
+  FROM sel a, sel b
+  WHERE a.pos = 0 AND b.pos = 1 AND NOT (a.c = 'tabel' AND b.c = 'scna')
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+bgc AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2),
+hc AS (SELECT w1, sum(c)::DOUBLE AS c1 FROM bgc GROUP BY 1),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS v
+      FROM (SELECT unnest(t) AS w FROM toks)),
+scored AS (
+  SELECT ch.suggestion,
+         round(ln((coalesce(bgc.c, 0) + 0.1)
+                  / (coalesce(hc.c1, 0) + 0.1 * v.v)), 6) AS score
+  FROM chains ch
+  LEFT JOIN bgc ON bgc.w1 = ch.w1 AND bgc.w2 = ch.w2
+  LEFT JOIN hc ON hc.w1 = ch.w1 CROSS JOIN v
+)
+SELECT suggestion, score,
+       row_number() OVER (ORDER BY score DESC, suggestion) AS rank
+FROM scored QUALIFY rank <= 3
 """
 
 # common terms: classification recomputed FROM THE DATA (df/n > 0.1
@@ -3888,6 +3963,7 @@ FROM scored QUALIFY rank <= 10
         "phrase_topk": _PHRASE_TOPK,
         "rescore_topk": _RESCORE_TOPK,
         "term_suggest": _TERM_SUGGEST,
+        "phrase_suggest": _PHRASE_SUGGEST,
         "function_score_topk": _FUNCTION_SCORE_TOPK,
         "span_near_topk": _SPAN_NEAR_TOPK,
         "span_first_match": _SPAN_FIRST_MATCH,
