@@ -861,7 +861,11 @@ def _highlight_terms(clause: dict[str, Any]) -> list[str]:
     raise ValueError(f"highlight is not supported for query type {kind!r}")
 
 
-def suggest_block(index: InvertedIndex, request: dict[str, Any]) -> DataFrame:
+def suggest_block(
+    index: InvertedIndex,
+    request: dict[str, Any],
+    tokens: DataFrame | None = None,
+) -> DataFrame:
     """Replay the ``suggest`` section of a request →
     ``(name, input, suggestion, score, freq, rank)``.
 
@@ -874,6 +878,12 @@ def suggest_block(index: InvertedIndex, request: dict[str, Any]) -> DataFrame:
     raise. One :func:`~...operators.suggest.term_suggest` call per
     named suggester (its options differ per name), each a single
     prefix-pruned dictionary scan.
+
+    A ``"phrase"`` suggester entry routes to
+    :func:`~...operators.phrase_suggest.phrase_suggest` (needs the
+    ``tokens`` corpus for the bigram LM); its rows carry the WHOLE
+    text as ``input`` and a NULL ``freq`` (phrase options have no
+    single document frequency).
     """
     from ..operators.suggest import term_suggest
 
@@ -883,11 +893,39 @@ def suggest_block(index: InvertedIndex, request: dict[str, Any]) -> DataFrame:
     spark = index.dictionary.sparkSession
     out = None
     for name, spec in body.items():
-        unknown = set(spec) - {"text", "term"}
+        unknown = set(spec) - {"text", "term", "phrase"}
         if unknown:
             raise ValueError(f"suggester {name!r}: unsupported key(s) {sorted(unknown)}")
-        if "text" not in spec or "term" not in spec:
-            raise ValueError(f"suggester {name!r} requires text and term")
+        if "text" not in spec or ("term" in spec) == ("phrase" in spec):
+            raise ValueError(
+                f"suggester {name!r} requires text and exactly one of term/phrase"
+            )
+        if "phrase" in spec:
+            from ..operators.phrase_suggest import phrase_suggest
+
+            if tokens is None:
+                raise ValueError(
+                    f"suggester {name!r}: phrase suggester needs the tokens DataFrame"
+                )
+            popts = dict(spec["phrase"])
+            popts.pop("field", None)
+            allowed = {"size", "candidates_per_token", "max_edits",
+                       "prefix_length", "alpha"}
+            unknown = set(popts) - allowed
+            if unknown:
+                raise ValueError(
+                    f"suggester {name!r}: unsupported option(s) {sorted(unknown)}"
+                )
+            part = phrase_suggest(index, tokens, str(spec["text"]), **popts).select(
+                F.lit(name).alias("name"),
+                F.lit(str(spec["text"])).alias("input"),
+                "suggestion",
+                "score",
+                F.lit(None).cast("long").alias("freq"),
+                "rank",
+            )
+            out = part if out is None else out.unionByName(part)
+            continue
         opts = dict(spec["term"])
         opts.pop("field", None)  # single indexed field; any value names it
         allowed = {

@@ -89,3 +89,34 @@ def test_validation(index, corpus):
         phrase_suggest(index, corpus, "a b", alpha=0)
     with pytest.raises(ValueError):
         phrase_suggest(index, corpus, "a b c d e f g", candidates_per_token=4)
+
+
+def test_suggest_block_phrase_route(index, corpus):
+    from elasticsearch_approx_plugin_spark.plans.search import suggest_block
+
+    req = {
+        "suggest": {
+            "fix": {"text": "tabel scna", "phrase": {"size": 2}},
+        }
+    }
+    rows = suggest_block(index, req, tokens=corpus).collect()
+    direct = phrase_suggest(index, corpus, "tabel scna", size=2).collect()
+    assert [(r["suggestion"], r["score"], r["rank"]) for r in rows] == [
+        (r["suggestion"], r["score"], r["rank"]) for r in direct
+    ]
+    assert all(r["name"] == "fix" and r["input"] == "tabel scna"
+               and r["freq"] is None for r in rows)
+    with pytest.raises(ValueError):  # needs tokens
+        suggest_block(index, req)
+    with pytest.raises(ValueError):  # term XOR phrase
+        suggest_block(
+            index,
+            {"suggest": {"s": {"text": "x y", "term": {}, "phrase": {}}}},
+            tokens=corpus,
+        )
+    with pytest.raises(ValueError):  # unknown phrase option
+        suggest_block(
+            index,
+            {"suggest": {"s": {"text": "x y", "phrase": {"bogus": 1}}}},
+            tokens=corpus,
+        )
