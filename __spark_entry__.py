@@ -867,6 +867,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_percolate"] = _streaming_percolate
 
+    # length-bucketed batching (round 6): the PADDED-training twin of
+    # pack_sequences — deterministic md5 bucket + per-bucket length
+    # sort + fixed-rows batches + pad_to.
+    def _length_batches(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.packing import (
+            length_bucket_batches,
+        )
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", F.size(tokenize_ws("text")).alias("n_tokens")
+        )
+        return length_bucket_batches(d, batch_rows=16, n_buckets=8)
+
+    q["length_bucket_batches"] = _length_batches
+
     # mixture_sample (round 6): budgeted token-mixture sampling — the
     # rate solver (t_max = min over strata of supply/target, capped by
     # the budget; floor-quantized thresholds) recomputed verbatim by
@@ -2332,9 +2347,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ngram_lm_score, in-window) — and the oracle recomputes the
         # whole chain-enumeration + scoring verbatim.
         "phrase_suggest",
+        # round 6 (sixteenth batch, cont.): length_bucket_batches
+        # registers in the TAIL (full hash oracle, locally
+        # sweep-verified): the md5-bucket arithmetic is the in-window
+        # train_test_split/stratified_sample gates', the per-bucket
+        # ordering window is the in-window pack_sequences machinery,
+        # and the fixed-rows grouping + per-batch max are one-line
+        # window arithmetic the oracle recomputes verbatim.
+        "length_bucket_batches",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 115, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 116, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -2749,6 +2772,30 @@ ranked AS (
 )
 SELECT doc_id, score, (rn - 10)::BIGINT AS rank
 FROM ranked WHERE rn > 10 AND rn <= 20
+"""
+
+# length-bucketed batching: identical md5-bucket arithmetic as the
+# split/sample oracles, per-bucket (n_tokens, id) row_number, fixed
+# batch_rows grouping, per-batch max as pad_to
+_LENGTH_BUCKET_BATCHES = """
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT % 8)::BIGINT AS bucket
+  FROM n WHERE n_tokens > 0
+),
+r AS (
+  SELECT *, floor((row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1)
+                  / 16)::BIGINT AS batch_id
+  FROM b
+)
+SELECT bucket, batch_id, doc_id, n_tokens,
+       max(n_tokens) OVER (PARTITION BY bucket, batch_id) AS pad_to
+FROM r
 """
 
 # mixture_sample: per-stratum token totals -> t_max = least(supply/
@@ -3927,6 +3974,7 @@ FROM scored QUALIFY rank <= 10
         "decontaminate": _DECONTAMINATE,
         "stratified_sample": _STRATIFIED_SAMPLE,
         "mixture_sample": _MIXTURE_SAMPLE,
+        "length_bucket_batches": _LENGTH_BUCKET_BATCHES,
         "percolate": _PERCOLATE,
         # matches are per-doc and batch-independent: the stream's full
         # output equals the batch percolation of the same corpus

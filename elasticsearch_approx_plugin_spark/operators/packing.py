@@ -98,3 +98,64 @@ def pack_sequences(
             ).alias("n_toks"),
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_rows: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Padding-efficient batching — the PADDED-training twin of
+    :func:`pack_sequences` (which is the concat regime).
+
+    A trainer that pads each batch to its longest sequence wastes
+    ``Σ(max_len − len)`` tokens per batch; random batching makes that
+    waste ~the corpus length spread. Sorting by length first makes
+    neighbours in a batch nearly equal — the standard "length
+    bucketing" every padded pipeline uses — and doing it
+    DETERMINISTICALLY (md5-bucket for parallelism, then
+    ``(n_tokens, id)`` order within the bucket) keeps the batch
+    assignment a pure function of (id, n_tokens, seed, batch_rows):
+    partitioning/cluster/engine-invariant, so the oracle recomputes
+    it row for row.
+
+    Output: one row per document —
+    ``(bucket, batch_id, id, n_tokens, pad_to)`` where ``batch_id``
+    numbers ``batch_rows``-sized groups within the bucket (the last
+    per bucket may be short) and ``pad_to`` is the batch's longest
+    sequence (what the trainer pads to). Zero-token docs drop.
+
+    One shuffle (the per-bucket sort window); bucket sizes are
+    corpus/n_buckets — the pack_sequences memory story.
+    """
+    if batch_rows < 1:
+        raise ValueError(f"batch_rows must be >= 1, got {batch_rows}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    bucket = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket")
+    n = F.col(n_tokens_col).cast("long")
+    w = Window.partitionBy("bucket").orderBy(F.col("__n"), F.col(id_col))
+    base = (
+        df.select(F.col(id_col), n.alias("__n"), bucket)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "batch_id",
+            F.floor((F.row_number().over(w) - 1) / F.lit(int(batch_rows))).cast(
+                "long"
+            ),
+        )
+    )
+    wb = Window.partitionBy("bucket", "batch_id")
+    return base.select(
+        "bucket",
+        "batch_id",
+        F.col(id_col),
+        F.col("__n").alias(n_tokens_col),
+        F.max("__n").over(wb).alias("pad_to"),
+    )

@@ -81,3 +81,76 @@ def test_validation(docs):
         pack_sequences(docs, seq_len=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, seq_len=8, n_buckets=0)
+
+
+# ------------------------------------------------ length bucketing ---------
+
+
+def test_length_batches_shape_and_pad(spark):
+    from elasticsearch_approx_plugin_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50 + 1) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = length_bucket_batches(df, batch_rows=8, n_buckets=4).collect()
+    assert len(out) == 200
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r["bucket"], r["batch_id"]), []).append(r)
+    for rows in by_batch.values():
+        assert len(rows) <= 8
+        mx = max(r["n_tokens"] for r in rows)
+        assert all(r["pad_to"] == mx for r in rows)
+    # batches within a bucket are contiguous length ranges: every batch
+    # b's max length <= batch b+1's min length
+    for (bkt, bid), rows in by_batch.items():
+        nxt = by_batch.get((bkt, bid + 1))
+        if nxt:
+            assert max(r["n_tokens"] for r in rows) <= min(
+                r["n_tokens"] for r in nxt
+            )
+
+
+def test_length_batches_reduce_padding_vs_random(spark):
+    from elasticsearch_approx_plugin_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    lens = [int(x) for x in rng.integers(1, 512, 2000)]
+    df = spark.createDataFrame(
+        [(i, L) for i, L in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+    out = length_bucket_batches(df, batch_rows=16, n_buckets=2).collect()
+    waste = sum(r["pad_to"] - r["n_tokens"] for r in out)
+    # random batching wastes ~ (max-mean) * rows; sorted bucketing must
+    # beat half of that comfortably
+    random_waste_estimate = sum(
+        max(lens[i : i + 16]) * len(lens[i : i + 16]) - sum(lens[i : i + 16])
+        for i in range(0, len(lens), 16)
+    )
+    assert waste < random_waste_estimate / 4
+
+
+def test_length_batches_invariance_and_validation(spark):
+    from elasticsearch_approx_plugin_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 30 + 1) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    a = {tuple(r) for r in length_bucket_batches(df, 10, n_buckets=8).collect()}
+    b = {
+        tuple(r)
+        for r in length_bucket_batches(df.repartition(13), 10, n_buckets=8).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        length_bucket_batches(df, 0)
+    with pytest.raises(ValueError):
+        length_bucket_batches(df, 5, n_buckets=0)
