@@ -491,6 +491,25 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     )
     timings["term_suggest_3q"] = round(t, 3)
 
+    # percolate serving (round 6): the alerting throughput shape —
+    # every doc against the registered rules, docs/sec is the metric
+    from elasticsearch_approx_plugin_spark.operators.percolate import (
+        percolate,
+        register_queries,
+    )
+
+    reg = register_queries(
+        spark,
+        [
+            (0, ["table", "hash"], "and", None),
+            (1, ["dup", "window", "spark"], "or", 2),
+            (2, ["slow", "batch"], "or", None),
+        ],
+    )
+    t, _ = _timed(lambda: percolate(toks, reg).count())
+    timings["percolate_3rules"] = round(t, 3)
+    extras["percolate_docs_per_sec"] = round(n_docs / t, 1)
+
     # function_score serving (round 6): uncapped base + decay combine
     from elasticsearch_approx_plugin_spark.operators.function_score import (
         function_score_topk,
