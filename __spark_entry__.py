@@ -785,6 +785,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_after_page"] = _search_after_page
 
+    # _count API (round 6): match count of any dispatched query type,
+    # no ranking window at all
+    def _count_request(spark, sf):
+        from elasticsearch_approx_plugin_spark.plans.search import count_hits
+
+        return count_hits(
+            _index(spark, sf), {"query": {"match": {"text": "table hash"}}}
+        )
+
+    q["count_request"] = _count_request
+
     # inspection APIs (round 6): _termvectors + index _stats over the
     # relational index layout
     def _term_vectors_stats(spark, sf):
@@ -2358,9 +2369,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the fixed-rows grouping + per-batch max are one-line
         # window arithmetic the oracle recomputes verbatim.
         "length_bucket_batches",
+        # round 6 (sixteenth batch, cont.): count_request registers in
+        # the TAIL (full hash oracle, locally sweep-verified): ONE
+        # count over the window-checked dispatcher's match set — no
+        # new arithmetic at all.
+        "count_request",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 116, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 117, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -3985,6 +4001,9 @@ FROM scored QUALIFY rank <= 10
         "search_after_page": _SEARCH_AFTER_PAGE,
         "geo_distance_facet": _GEO_DISTANCE_FACET,
         "common_terms_topk": _COMMON_TERMS_TOPK,
+        "count_request": f"WITH tok AS ({_TOK}) "
+        "SELECT count(DISTINCT doc_id)::BIGINT AS count FROM tok "
+        "WHERE term IN ('table', 'hash')",
         "term_vectors_stats": f"""
         WITH tok AS ({_TOK}),
         tf AS (SELECT doc_id, term, count(*)::BIGINT AS term_freq

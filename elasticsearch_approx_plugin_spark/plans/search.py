@@ -949,3 +949,24 @@ def suggest_block(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def count_hits(
+    index: InvertedIndex,
+    request: dict[str, Any],
+    tokens: DataFrame | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """The ES ``_count`` API: one row ``(count)`` — how many docs match
+    the request's query. Dispatches through the same strict query
+    parser as ``_search`` (every gated query type counts), with the
+    ranking window elided: the scorer output aggregates to a single
+    count, so no top-k window runs at all."""
+    body = request.get("query")
+    if body is None:
+        raise ValueError("_count request requires a query clause")
+    unknown = set(request) - {"query"}
+    if unknown:
+        raise ValueError(f"_count: unsupported key(s) {sorted(unknown)}")
+    hits = _scored_hits(index, body, index.n_docs, tokens, docs, False)
+    return hits.agg(F.count("*").cast("long").alias("count"))

@@ -514,3 +514,27 @@ def test_suggest_block(index):
         suggest_block(index, {"suggest": {"s": {"text": "x", "term": {"bogus": 1}}}})
     with pytest.raises(ValueError):  # missing text
         suggest_block(index, {"suggest": {"s": {"term": {}}}})
+
+
+def test_count_hits(index, tokens, docs):
+    from elasticsearch_approx_plugin_spark.plans.search import count_hits, search_topk
+
+    got = count_hits(
+        index, {"query": {"match": {"text": "table join"}}}
+    ).collect()[0]["count"]
+    want = search_topk(
+        index, {"query": {"match": {"text": "table join"}}, "size": 100}
+    ).count()
+    assert got == want and got > 0
+    # every-type dispatch: a filtered query counts too
+    got_f = count_hits(
+        index,
+        {"query": {"filtered": {"query": {"match": {"text": "table"}},
+                                "filter": {"term": {"doc_id": 3}}}}},
+        docs=docs.withColumn("doc_id", F.col("doc_id")),
+    ).collect()[0]["count"]
+    assert got_f == 1
+    with pytest.raises(ValueError):
+        count_hits(index, {"query": {"match": {"text": "x"}}, "size": 5})
+    with pytest.raises(ValueError):
+        count_hits(index, {})
