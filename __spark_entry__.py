@@ -785,6 +785,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_after_page"] = _search_after_page
 
+    # _analyze API (round 6): tokenization preview with the index's
+    # own Catalyst analyzer (leading/multi whitespace exercised)
+    def _analyze_preview(spark, sf):
+        from elasticsearch_approx_plugin_spark.operators.stats import analyze_text
+
+        return analyze_text(
+            spark, [(0, "  table   scan "), (1, "x  y z")], analyzer="whitespace"
+        )
+
+    q["analyze_preview"] = _analyze_preview
+
     # _count API (round 6): match count of any dispatched query type,
     # no ranking window at all
     def _count_request(spark, sf):
@@ -2374,9 +2385,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count over the window-checked dispatcher's match set — no
         # new arithmetic at all.
         "count_request",
+        # round 6 (sixteenth batch, cont.): analyze_preview registers
+        # in the TAIL (full hash oracle, locally sweep-verified): it
+        # runs the EXACT tokenizer expression every in-window gate's
+        # corpus flows through (tokenize_ws — any drift breaks every
+        # bm25/phrase hash), with only the posexplode projection new.
+        "analyze_preview",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
-    assert len(head) == 50 and len(q) == 117, (len(head), len(q))
+    assert len(head) == 50 and len(q) == 118, (len(head), len(q))
     return {**head, **{k: q[k] for k in tail}}
 
 
@@ -4001,6 +4018,15 @@ FROM scored QUALIFY rank <= 10
         "search_after_page": _SEARCH_AFTER_PAGE,
         "geo_distance_facet": _GEO_DISTANCE_FACET,
         "common_terms_topk": _COMMON_TERMS_TOPK,
+        "analyze_preview": """
+        WITH t AS (SELECT * FROM (VALUES (0, '  table   scan '), (1, 'x  y z'))
+                   AS t(text_id, text)),
+        tok AS (SELECT text_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM t)
+        SELECT text_id::BIGINT AS text_id, (i - 1)::BIGINT AS position, toks[i] AS token
+        FROM tok, unnest(generate_series(1, len(toks))) AS g(i)
+        """,
         "count_request": f"WITH tok AS ({_TOK}) "
         "SELECT count(DISTINCT doc_id)::BIGINT AS count FROM tok "
         "WHERE term IN ('table', 'hash')",

@@ -77,3 +77,33 @@ def index_stats(index: InvertedIndex) -> DataFrame:
         "n_tokens",
         F.round(F.lit(float(index.avgdl)), 6).alias("avgdl"),
     )
+
+
+def analyze_text(
+    spark,
+    texts: list[tuple[int, str]],
+    analyzer: str = "whitespace",
+) -> DataFrame:
+    """The ES ``_analyze`` API: preview how text tokenizes →
+    ``(text_id, position, token)``, positions 0-based like ES.
+
+    ``analyzer``: ``whitespace`` (the documents analyzer) or ``code``
+    (the source-code analyzer — identifier/number tokens, lowercased).
+    Runs the EXACT Catalyst tokenizer expressions the index build uses
+    (``functions.tokenize``), so what this previews is what the index
+    stores — the point of ``_analyze``.
+    """
+    from ..functions.tokenize import tokenize_code, tokenize_ws
+
+    if not texts:
+        raise ValueError("_analyze needs at least one text")
+    tok = {"whitespace": tokenize_ws, "code": tokenize_code}.get(analyzer)
+    if tok is None:
+        raise ValueError(f"unknown analyzer {analyzer!r} (whitespace, code)")
+    df = spark.createDataFrame(
+        [(int(i), str(t)) for i, t in texts], "text_id long, text string"
+    )
+    return df.select(
+        "text_id",
+        F.posexplode(tok("text")).alias("position", "token"),
+    ).select("text_id", F.col("position").cast("long"), "token")

@@ -71,3 +71,21 @@ def test_index_stats_counts_tombstones(corpus, spark, tmp_path):
     idx = read_index(spark, path)
     r = index_stats(idx).collect()[0]
     assert r["n_deleted"] == 1
+
+
+def test_analyze_text(spark):
+    from elasticsearch_approx_plugin_spark.operators.stats import analyze_text
+
+    out = analyze_text(spark, [(0, "  table   scan "), (1, "x")]).collect()
+    got = {(r["text_id"], r["position"], r["token"]) for r in out}
+    assert got == {(0, 0, "table"), (0, 1, "scan"), (1, 0, "x")}
+    code = analyze_text(spark, [(0, "fooBar = baz_9(2);")], analyzer="code").collect()
+    assert [r["token"] for r in sorted(code, key=lambda r: r["position"])] == [
+        "foobar", "baz_9", "2",
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        analyze_text(spark, [])
+    with _pt.raises(ValueError):
+        analyze_text(spark, [(0, "x")], analyzer="bogus")
