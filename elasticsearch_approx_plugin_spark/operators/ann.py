@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 SCORE_DECIMALS = 6
 
 
@@ -211,7 +213,7 @@ def lsh_cosine_topk(
             if multiprobe >= 1:
                 buckets |= {base ^ (1 << b) for b in range(n_planes)}
             probe_rows += [(qid, fvec, t, bkt) for bkt in sorted(buckets)]
-    probes = spark.createDataFrame(
+    probes = small_df(spark, 
         probe_rows, "query_id long, qvec array<double>, tbl long, bucket long"
     )
 
@@ -351,7 +353,7 @@ def ivf_cosine_topk(
         d = ((centroids - np.asarray(vec, dtype=np.float64)) ** 2).sum(axis=1)
         for li in np.argsort(d, kind="stable")[:nprobe]:
             probe_rows.append((qid, int(li), [float(x) for x in vec]))
-    probes = spark.createDataFrame(
+    probes = small_df(spark, 
         probe_rows, "query_id long, list_id long, qvec array<double>"
     )
     # the probed list set is known driver-side → a static filter, which

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
 from ..functions.varint import delta_varint_decode, varint_decode
 from .postings import InvertedIndex
 
@@ -203,6 +204,9 @@ def _make_wand_scorer(
     return score_group
 
 
+from ..session import n_shuffle_partitions as _n_shuffle  # noqa: E402
+
+
 def _tombstone_broadcast(index: InvertedIndex):
     """ONE tombstone broadcast per snapshot, cached on the index object
     (ADVICE r3: creating a fresh broadcast per ``score_queries`` call
@@ -318,7 +322,8 @@ def score_queries(
         for t in missing:
             cache.setdefault(t, (0, -1))  # not in dictionary: no postings
     idf = {t: _idf(index.n_docs, cache[t][0]) for t in terms if cache[t][0] > 0}
-    qt = spark.createDataFrame(
+    qt = small_df(
+        spark,
         [(qid, t, idf[t]) for qid, ts in queries for t in set(ts) if t in idf],
         "query_id long, term string, idf double",
     )
@@ -350,7 +355,9 @@ def score_queries(
         wand_in = matched
         if heavy_qids:
             wand_in = matched.filter(~F.col("query_id").isin(sorted(heavy_qids)))
-        local = wand_in.groupBy("query_id").applyInPandas(
+        local = wand_in.repartition(_n_shuffle(spark), "query_id").groupBy(
+            "query_id"
+        ).applyInPandas(
             wand, out_schema + ", ranges_total long, ranges_scored long"
         )
         if stats is not None:  # opt-in skip accounting (rows are only q×k)
@@ -371,12 +378,15 @@ def score_queries(
         if heavy_qids:
             heavy = (
                 matched.filter(F.col("query_id").isin(sorted(heavy_qids)))
+                .repartition(_n_shuffle(spark), "range_id")
                 .groupBy("range_id")
                 .applyInPandas(scorer, out_schema)
             )
             local = local.unionByName(heavy)
     else:
-        local = matched.groupBy("range_id").applyInPandas(scorer, out_schema)
+        local = matched.repartition(_n_shuffle(spark), "range_id").groupBy(
+            "range_id"
+        ).applyInPandas(scorer, out_schema)
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     result = (

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 from .bm25 import _idf, score_queries
 from .postings import InvertedIndex
 from .rescore import _warm_df
@@ -110,7 +112,7 @@ def common_terms_topk(
             # scale path: high BM25 folds row-locally over the
             # candidates' token arrays — hot postings never scanned
             spark = corpus.sparkSession
-            payload = spark.createDataFrame(
+            payload = small_df(spark, 
                 [
                     (
                         qid,

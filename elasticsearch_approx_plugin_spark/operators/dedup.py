@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 DEFAULT_SHINGLE_N = 3
 
 
@@ -366,6 +368,12 @@ def minhash_lsh_dedup(
         _shingle_sig_banded_fn(n, num_hashes, bands),
         "id long, shs array<long>, buckets array<long>",
     ).persist()
+    # materialize the cache BEFORE the dependent plans fan out: AQE
+    # runs the banding self-join's and the shingle explode's stages
+    # concurrently, and two simultaneous cache misses each recompute
+    # the whole signature pass (measured: the heaviest stage of the
+    # call, duplicated) — one cheap count pins it first
+    enc.count()
     banded = enc.select(
         "id", F.posexplode("buckets").alias("band", "bucket")
     )
@@ -513,7 +521,7 @@ def resolve_keep_list(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     drops = [x for x in parent if find(x) != x]
-    drop_df = spark.createDataFrame([(d,) for d in drops] or [(None,)], f"{id_col} long")
+    drop_df = small_df(spark, [(d,) for d in drops] or [(None,)], f"{id_col} long")
     return df.join(F.broadcast(drop_df.where(F.col(id_col).isNotNull())), id_col, "left_anti")
 
 

@@ -61,6 +61,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.small_df import small_df
+
 _ORDERS = {
     "count": lambda ent: [F.col("count").desc(), F.col("term").asc()],
     "reverse_count": lambda ent: [F.col("count").asc(), F.col("term").asc()],
@@ -263,7 +265,7 @@ def range_facet(
         )
     )
     spark = df.sparkSession
-    spec = spark.createDataFrame(
+    spec = small_df(spark, 
         [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
         T.StructType(
             [

@@ -29,6 +29,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 from .bm25 import score_queries
 from .postings import InvertedIndex
 
@@ -91,7 +93,7 @@ def highlight_topk(
         )
     spark = topk.sparkSession
     hits_df = F.broadcast(
-        spark.createDataFrame(hits, "query_id long, doc_id long, score double, rank long")
+        small_df(spark, hits, "query_id long, doc_id long, score double, rank long")
     )
     ids = sorted({r["doc_id"] for r in hits})
     texts = docs.select(

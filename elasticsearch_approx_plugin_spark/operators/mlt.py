@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 from ..functions.tokenize import tokenize_ws
 from .bm25 import score_queries
 from .postings import InvertedIndex
@@ -56,7 +58,7 @@ def _selection_df(
     :func:`mlt_select`; exposed separately so the plan is auditable).
     Output: (query_id, term) capped at ``max_query_terms`` per query."""
     spark = index.postings.sparkSession
-    liked = spark.createDataFrame(queries, "query_id long, like_text string")
+    liked = small_df(spark, queries, "query_id long, like_text string")
     qtf = (
         liked.select(
             "query_id", F.explode(tokenize_ws("like_text")).alias("term")

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 
 def register_queries(
     spark, queries: list[tuple[int, list[str], str, int | None]]
@@ -71,7 +73,7 @@ def register_queries(
         else:
             raise ValueError(f"query {qid}: operator must be and/or, got {operator!r}")
         rows.extend((int(qid), t, len(uniq), need) for t in uniq)
-    return spark.createDataFrame(
+    return small_df(spark, 
         rows, "query_id long, term string, n_terms int, min_match int"
     )
 

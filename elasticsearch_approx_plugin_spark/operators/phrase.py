@@ -35,6 +35,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
 from .bm25 import _idf
 from .postings import InvertedIndex, _decode_doc_rows
 
@@ -119,7 +120,7 @@ def _candidates(
     # n_terms rides each (query_id, term) row (constant per query), so
     # the all-terms-present check is a HAVING on the candidate groupBy
     # instead of a second broadcast join — one fewer stage per call.
-    qt = spark.createDataFrame(
+    qt = small_df(spark, 
         [(qid, t, len(set(p))) for qid, p in phrases for t in set(p)],
         "query_id long, term string, n_terms int",
     )
@@ -148,7 +149,7 @@ def _matches_with_tokens(
     scorers)."""
     spark = index.postings.sparkSession
     cand = _candidates(index, phrases)
-    ph = spark.createDataFrame(
+    ph = small_df(spark, 
         [(qid, p) for qid, p in phrases], "query_id long, phrase array<string>"
     )
     docs = corpus.select(
@@ -229,7 +230,7 @@ def phrase_prefix_match(
         return spark.createDataFrame(
             [], "query_id long, doc_id long, n_occurrences long"
         )
-    qt = spark.createDataFrame(
+    qt = small_df(spark, 
         qt_rows, "query_id long, term string, is_complete int, is_alt int, n_complete int"
     )
     terms = sorted({r[1] for r in qt_rows})
@@ -247,7 +248,7 @@ def phrase_prefix_match(
     )
     if index.tombstones is not None:
         cand = cand.join(index.tombstones, "doc_id", "left_anti")
-    payload = spark.createDataFrame(
+    payload = small_df(spark, 
         [(qid, p[:-1], expanded[qid]) for qid, p in queries],
         "query_id long, phrase array<string>, alts array<string>",
     )
@@ -302,7 +303,7 @@ def phrase_topk(
     spark = index.postings.sparkSession
     cand = _candidates(index, phrases)
     cache = index.term_cache  # warm after _candidates
-    payload = spark.createDataFrame(
+    payload = small_df(spark, 
         [
             (
                 qid,

@@ -34,6 +34,8 @@ from itertools import product
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 from .postings import InvertedIndex
 from .suggest import term_suggest
 
@@ -100,7 +102,7 @@ def phrase_suggest(
         return spark.createDataFrame([], out_schema)
 
     # chain transitions (chain_id, w1, w2) — driver-bounded rows
-    trans = spark.createDataFrame(
+    trans = small_df(spark, 
         [
             (ci, chain, chain.split()[i], chain.split()[i + 1])
             for ci, chain in enumerate(chains)

@@ -42,7 +42,9 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
 from ..functions.varint import varint_decode, varint_encode_grouped
+from ..session import n_shuffle_partitions
 
 DEFAULT_RANGE_BITS = 20  # 1M docs per scoring range
 DEFAULT_K1 = 1.2
@@ -140,8 +142,8 @@ def assign_doc_ids(
         acc += sizes.get(b, 0)
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()], "_bucket bigint, _offset bigint"
+        small_df(
+            spark, [(b, o) for b, o in offsets.items()], "_bucket bigint, _offset bigint"
         )
     )
     from pyspark.sql import Window
@@ -231,24 +233,35 @@ def build_index(
     range_bits: int = DEFAULT_RANGE_BITS,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    precomputed_stats: tuple[int, float] | None = None,
 ) -> InvertedIndex:
     """Build the inverted index from ``(doc_id, tokens)``.
 
     ``docs`` must carry a deterministic ``id_col`` (use
     :func:`assign_doc_ids` if the source has none).
+
+    ``precomputed_stats`` = (n_docs, avgdl) lets a caller that already
+    ran an aggregation over the corpus (append_to_index's fused
+    fingerprint+stats probe) skip the one-job stats pass here; the
+    values must equal what the pass would compute (exact count and
+    ``avg(size(tokens))``), since avgdl parameterizes the stored
+    block-max metadata.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.size(F.col(tokens_col)).alias("dl"), F.col(tokens_col)
     )
-    stats = base.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    if int(stats["n"]) == 0:
+    if precomputed_stats is None:
+        stats = base.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    else:
+        n_docs, avgdl = int(precomputed_stats[0]), float(precomputed_stats[1])
+    if n_docs == 0:
         raise ValueError(
             "build_index: input has no documents (append_to_index no-ops "
             "on an empty delta before reaching here)"
         )
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
     # shuffle 1: tf per (term, doc) with map-side combine; dl rides along
     # (functionally dependent on doc_id, so it does not widen the key).
@@ -269,9 +282,12 @@ def build_index(
     # shuffle 2: salted combine into per-(term, range) varint rows —
     # hash repartition co-locates each group, then one vectorized
     # partition-at-a-time Arrow-native encode (see _encode_partition).
-    postings = tf.repartition("term", "range_id").mapInArrow(
-        _encode_partition, POSTINGS_SCHEMA
-    )
+    # Explicit partition count (REPARTITION_BY_NUM): the encode stage
+    # is CPU-dense per row, so AQE's byte-based coalescing mis-sizes it
+    # (see session.n_shuffle_partitions).
+    postings = tf.repartition(
+        n_shuffle_partitions(docs.sparkSession), "term", "range_id"
+    ).mapInArrow(_encode_partition, POSTINGS_SCHEMA)
 
     dictionary = postings.groupBy("term").agg(
         F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf")
@@ -412,7 +428,7 @@ def delete_from_index(spark: SparkSession, path: str, doc_ids) -> int:
     if isinstance(doc_ids, DataFrame):
         ids_df = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
     else:
-        ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+        ids_df = small_df(spark, [(int(i),) for i in doc_ids], "doc_id long")
     ids_df.write.mode("append").parquet(os.path.join(path, "tombstones"))
     return spark.read.parquet(os.path.join(path, "tombstones")).distinct().count()
 
@@ -917,7 +933,7 @@ def append_to_index(
     )
     merged_plan = (
         old.unionByName(delta_pb)
-        .repartition("term", "range_id")
+        .repartition(n_shuffle_partitions(spark), "term", "range_id")
         .drop("bucket")
         .mapInArrow(_merge_partition, POSTINGS_SCHEMA)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
 from .bm25 import _idf, score_queries
 from .phrase import _occurrences
 from .postings import InvertedIndex
@@ -153,7 +154,7 @@ def rescore_window(
     _warm_df(index, r_terms)
     cache = index.term_cache
     spark = corpus.sparkSession
-    payload = spark.createDataFrame(
+    payload = small_df(spark, 
         [
             (
                 int(qid),

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
 from .bm25 import _idf
 from .phrase import _candidates, _validated
 from .postings import InvertedIndex
@@ -97,7 +98,7 @@ def _span_payload(spark, queries, slop: int, in_order: bool):
         rows.append(
             (qid, terms, sorted(counts.items()), len(terms) + slop)
         )
-    return spark.createDataFrame(
+    return small_df(spark, 
         rows,
         "query_id long, qterms array<string>, "
         "qcounts array<struct<term: string, cnt: int>>, length int",
@@ -153,7 +154,7 @@ def span_first_match(
     qlist = [(int(qid), [str(t)]) for qid, t in queries]
     spark = index.postings.sparkSession
     cand = _candidates(index, qlist)
-    payload = spark.createDataFrame(
+    payload = small_df(spark, 
         [(qid, p[0]) for qid, p in qlist], "query_id long, qterm string"
     )
     docs = corpus.select(
@@ -204,7 +205,7 @@ def span_near_topk(
             if cache[t][0] > 0
         ]
         rows.append((qid, terms, sorted(counts.items()), len(terms) + slop, qidf))
-    payload = spark.createDataFrame(
+    payload = small_df(spark, 
         rows,
         "query_id long, qterms array<string>, "
         "qcounts array<struct<term: string, cnt: int>>, length int, "

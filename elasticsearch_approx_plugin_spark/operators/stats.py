@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 from .postings import InvertedIndex
 
 
@@ -100,7 +102,7 @@ def analyze_text(
     tok = {"whitespace": tokenize_ws, "code": tokenize_code}.get(analyzer)
     if tok is None:
         raise ValueError(f"unknown analyzer {analyzer!r} (whitespace, code)")
-    df = spark.createDataFrame(
+    df = small_df(spark, 
         [(int(i), str(t)) for i, t in texts], "text_id long, text string"
     )
     return df.select(

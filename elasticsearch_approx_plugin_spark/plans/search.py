@@ -79,6 +79,8 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.small_df import small_df
+
 from ..operators.bm25 import bool_should_topk, score_queries
 from ..operators.fuzzy import fuzzy_topk
 from ..operators.mlt import mlt_topk
@@ -940,7 +942,7 @@ def suggest_block(
             raise ValueError(f"suggester {name!r}: text analyzed to zero tokens")
         inputs = list(enumerate(toks))
         sugg = term_suggest(index, inputs, **opts)
-        labels = spark.createDataFrame(
+        labels = small_df(spark, 
             [(qid, name, tok) for qid, tok in inputs],
             "query_id long, name string, input string",
         )

@@ -70,6 +70,24 @@ def get_spark(
     return spark
 
 
+def n_shuffle_partitions(spark: SparkSession) -> int:
+    """The session's configured shuffle width (cluster-parameterized;
+    local default 32).  CPU-dense Python stages (posting encode/merge,
+    batch scorers) repartition to it EXPLICITLY (``REPARTITION_BY_NUM``)
+    because AQE's byte-based partition coalescing mis-sizes them: their
+    input exchanges are small in bytes but each row costs a varint
+    decode / numpy pass, and letting AQE fold them to 1-3 tasks
+    serializes the whole batch on one Python worker (measured on
+    local[32]: the 50-query WAND stage ran 2.0 s on 3 AQE-coalesced
+    tasks vs ~0.5 s at the configured width; the index-build encode
+    stage 1.6 s on 2 tasks).  At cluster scale the same conf value is
+    what sizes every other exchange, so this stays scale-adaptive."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 _SHIPPED: set[str] = set()
 
 
