@@ -256,8 +256,17 @@ def score_queries(
     stats: dict | None = None,
     wand_max_postings: int = 50_000_000,
     minimum_should_match: int | dict[int, int] = 1,
+    ranked: bool = True,
 ) -> DataFrame:
     """Score a batch of (query_id, terms) → (query_id, doc_id, score, rank).
+
+    ``ranked=False`` (internal, for composing operators) skips the
+    global per-query rank window and returns (query_id, doc_id, score)
+    only.  Row set identical to the ranked result when ``k >= n_docs``
+    (the composing operators' uncapped calls — multi_match,
+    function_score, query_string coverage/exclusion sets — which
+    re-rank or semi-join downstream and never read ``rank``); a full
+    sort exchange per call drops out of the plan.
 
     The query-term table is tiny → broadcast; the postings scan is
     filtered by ``term IN (...)`` (pushed to parquet row groups).
@@ -388,12 +397,15 @@ def score_queries(
             "range_id"
         ).applyInPandas(scorer, out_schema)
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    result = (
-        local.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    if ranked:
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        result = (
+            local.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+    else:
+        result = local.select("query_id", "doc_id", "score")
     if prune and stats is not None:
         result = result.localCheckpoint(eager=True)
         local.unpersist(blocking=False)
@@ -410,6 +422,7 @@ def bool_should_topk(
     queries: list[tuple[int, list[str], int]],
     k: int = 10,
     prune: bool = False,
+    ranked: bool = True,
 ) -> DataFrame:
     """ES ``bool`` query with ``should`` term clauses and a per-query
     ``minimum_should_match``: each query is (query_id, terms, m). Docs
@@ -423,6 +436,7 @@ def bool_should_topk(
         k,
         prune=prune,
         minimum_should_match={qid: m for qid, _, m in queries},
+        ranked=ranked,
     )
 
 

@@ -106,7 +106,8 @@ def common_terms_topk(
     parts = []
     if low_q:
         low_scores = score_queries(
-            index, low_q, k=index.n_docs, minimum_should_match=low_msm
+            index, low_q, k=index.n_docs, minimum_should_match=low_msm,
+            ranked=False,
         ).select("query_id", "doc_id", F.col("score").alias("_lo"))
         if high_q and corpus is not None:
             # scale path: high BM25 folds row-locally over the
@@ -160,7 +161,9 @@ def common_terms_topk(
                 )
             )
         elif high_q:
-            high_scores = score_queries(index, high_q, k=index.n_docs).select(
+            high_scores = score_queries(
+                index, high_q, k=index.n_docs, ranked=False
+            ).select(
                 "query_id", "doc_id", F.col("score").alias("_hi")
             )
             # high terms add score ONLY on low-matched docs
@@ -181,7 +184,8 @@ def common_terms_topk(
     if degraded_q:
         parts.append(
             score_queries(
-                index, degraded_q, k=index.n_docs, minimum_should_match=high_msm
+                index, degraded_q, k=index.n_docs, minimum_should_match=high_msm,
+                ranked=False,
             ).select("query_id", "doc_id", "score")
         )
     out = parts[0]

