@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame, SparkSession
 _ROWS_PER_SLICE = 65536
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Re-spread an input whose planned scan parallelism is far below
+    the session's shuffle width (guide-style input-skew fix: one small
+    unsplittable file serializes every CPU-dense downstream stage on a
+    single task — MinHash signatures, sketch partials, phrase/span
+    verify folds all sat on 1-task scans at benchmark scale).
+
+    No-op — and crucially NO shuffle — whenever the input already
+    splits to at least half the shuffle width, which any at-scale table
+    does (splits = bytes / maxPartitionBytes); the reshuffle only fires
+    for inputs bounded by ~width × maxPartitionBytes, where moving them
+    once is negligible and buys full-core parallelism."""
+    from ..session import n_shuffle_partitions
+
+    n = n_shuffle_partitions(df.sparkSession)
+    if df.rdd.getNumPartitions() < max(2, n // 2):
+        return df.repartition(n)
+    return df
+
+
 def small_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     """``rows`` (bounded, driver-local) → DataFrame with one slice per
     64k rows instead of ``spark.default.parallelism`` slices."""

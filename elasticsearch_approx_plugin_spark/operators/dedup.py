@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.small_df import small_df
+from ..functions.small_df import small_df, spread_small_input
 
 DEFAULT_SHINGLE_N = 3
 
@@ -364,7 +364,11 @@ def minhash_lsh_dedup(
     base = df.select(F.col(id_col).alias("id"), th.alias("th")).filter(
         F.size(F.col(tokens_col)) >= n
     )
-    enc = base.mapInPandas(
+    # input-skew guard: a single-small-file corpus plans a 1-task scan
+    # and would serialize the whole signature pass on one worker; no-op
+    # (no shuffle) for any input that already splits (guide-style
+    # repartition-after-read, fires only for tiny inputs)
+    enc = spread_small_input(base).mapInPandas(
         _shingle_sig_banded_fn(n, num_hashes, bands),
         "id long, shs array<long>, buckets array<long>",
     ).persist()

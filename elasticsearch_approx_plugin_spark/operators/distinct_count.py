@@ -186,6 +186,9 @@ def sketch_agg(
 
     if not group_cols:
         return _global(partials)
+    # explicit width (REPARTITION_BY_NUM): the state merge is a Python
+    # pass over per-(partition x group) states — AQE's byte-based
+    # coalescing would fold it onto 1-2 workers (session.n_shuffle_partitions)
     grouped = partials.repartition(*group_cols).mapInPandas(
         _merge_states(group_cols), final_schema
     )

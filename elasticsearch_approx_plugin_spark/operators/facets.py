@@ -111,7 +111,10 @@ def terms_facet(
         counts = counts.filter(
             F.col("term").isNull() | ~F.col("term").isin(list(exclude))
         )
-    counts = counts.cache()  # one shuffle feeds entries AND summary
+    # no cache: entries and summary consume the SAME exchange and AQE
+    # reuses it (ReusedExchange); an explicit cache leaked storage across
+    # facet calls in a long-lived session (ADVICE r6) and cost an extra
+    # materialization pass per call
     summary = counts.agg(
         F.coalesce(F.sum(F.when(F.col("term").isNotNull(), F.col("count"))), F.lit(0))
         .cast("long")
@@ -340,7 +343,8 @@ def terms_stats_facet(
             F.round(F.sum("__v__"), 6).alias("total"),
             F.round(F.sum("__v__") / F.count("__v__"), 6).alias("mean"),
         )
-        .cache()  # one shuffle feeds entries AND the missing summary
+        # no cache: all consumers share the one exchange via AQE
+        # ReusedExchange (see terms_facet) — ADVICE r6
     )
     missing = grouped.agg(
         F.coalesce(F.sum(F.when(F.col("term").isNull(), F.col("count"))), F.lit(0))

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.small_df import small_df
+from ..functions.small_df import small_df, spread_small_input
 
 
 def register_queries(
@@ -94,8 +94,10 @@ def percolate(
     forces/forbids the broadcast; default lets Spark's threshold and
     AQE decide.
     """
-    doc_terms = docs.select(
-        F.col(id_col).alias("doc_id"),
+    doc_terms = spread_small_input(  # input-skew guard, no-op when split
+        docs.select(F.col(id_col).alias("doc_id"), F.col(tokens_col))
+    ).select(
+        "doc_id",
         F.explode(F.array_distinct(F.col(tokens_col))).alias("term"),
     )
     q = registered

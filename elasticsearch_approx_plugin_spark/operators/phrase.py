@@ -35,7 +35,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.small_df import small_df
+from ..functions.small_df import small_df, spread_small_input
 from .bm25 import _idf
 from .postings import InvertedIndex, _decode_doc_rows
 
@@ -152,8 +152,11 @@ def _matches_with_tokens(
     ph = small_df(spark, 
         [(qid, p) for qid, p in phrases], "query_id long, phrase array<string>"
     )
-    docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    # input-skew guard (no-op for inputs that already split): the
+    # row-local verify/score lambdas are CPU-dense and must not ride a
+    # 1-task scan of a single small file
+    docs = spread_small_input(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks"))
     )
     return (
         cand.join(docs, "doc_id")
@@ -252,8 +255,11 @@ def phrase_prefix_match(
         [(qid, p[:-1], expanded[qid]) for qid, p in queries],
         "query_id long, phrase array<string>, alts array<string>",
     )
-    docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    # input-skew guard (no-op for inputs that already split): the
+    # row-local verify/score lambdas are CPU-dense and must not ride a
+    # 1-task scan of a single small file
+    docs = spread_small_input(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks"))
     )
     toks, phrase, alts = F.col("_toks"), F.col("phrase"), F.col("alts")
     occ = F.when(
@@ -319,8 +325,11 @@ def phrase_topk(
         "query_id long, phrase array<string>, "
         "qidf array<struct<term: string, idf: double>>",
     )
-    docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    # input-skew guard (no-op for inputs that already split): the
+    # row-local verify/score lambdas are CPU-dense and must not ride a
+    # 1-task scan of a single small file
+    docs = spread_small_input(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks"))
     )
     avgdl = index.avgdl or 1.0
     k1, b = index.k1, index.b

@@ -42,7 +42,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.small_df import small_df
+from ..functions.small_df import small_df, spread_small_input
 from ..functions.varint import varint_decode, varint_encode_grouped
 from ..session import n_shuffle_partitions
 
@@ -247,8 +247,12 @@ def build_index(
     ``avg(size(tokens))``), since avgdl parameterizes the stored
     block-max metadata.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(F.col(tokens_col)).alias("dl"), F.col(tokens_col)
+    base = spread_small_input(  # input-skew guard, no-op when split
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.col(tokens_col)).alias("dl"),
+            F.col(tokens_col),
+        )
     )
     if precomputed_stats is None:
         stats = base.agg(
@@ -357,9 +361,16 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
-                part.write.mode("overwrite").partitionBy("bucket").parquet(
-                    os.path.join(path, "postings")
-                )
+                # REBALANCE by bucket before the partitioned write: the
+                # encode output holds every bucket in every partition, so
+                # a direct write fans out tasks x buckets tiny files
+                # (measured 256 files / 2.0 s vs 8 files / 0.8 s at bench
+                # scale); the AQE-sized exchange also yields
+                # advisory-sized files at cluster scale (guide: coalesce
+                # on write).
+                part.hint("rebalance", "bucket").write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(os.path.join(path, "postings"))
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             metrics = _bucket_metrics(part)
@@ -614,9 +625,9 @@ def compact_index(spark: SparkSession, path: str) -> dict:
             .applyInPandas(_compact_cogroup_rewrite, bucketed_schema)
         )
     rewritten = rewritten.localCheckpoint(eager=True)
-    rewritten.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "postings")
-    )
+    rewritten.hint("rebalance", "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "postings"))
     new_dict = (
         rewritten.groupBy("term")
         .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"))
@@ -1010,7 +1021,8 @@ def append_to_index(
             merged = f_merged.result()
             f_metrics = ex.submit(_bucket_metrics, merged)
             f_pwrite = ex.submit(
-                lambda: merged.write.mode("overwrite")
+                lambda: merged.hint("rebalance", "bucket")
+                .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(os.path.join(path, "postings"))
             )

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.small_df import small_df
+from ..functions.small_df import small_df, spread_small_input
 from .bm25 import _idf
 from .phrase import _candidates, _validated
 from .postings import InvertedIndex
@@ -122,8 +122,8 @@ def span_near_match(
     spark = index.postings.sparkSession
     cand = _candidates(index, queries)
     payload = _span_payload(spark, queries, slop, in_order)
-    docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    docs = spread_small_input(  # input-skew guard, no-op when split
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks"))
     )
     toks, length = F.col("_toks"), F.col("length")
     hit = (
@@ -157,8 +157,8 @@ def span_first_match(
     payload = small_df(spark, 
         [(qid, p[0]) for qid, p in qlist], "query_id long, qterm string"
     )
-    docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    docs = spread_small_input(  # input-skew guard, no-op when split
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks"))
     )
     hit = F.array_position(
         F.slice(F.col("_toks"), 1, end), F.col("qterm")
@@ -211,8 +211,8 @@ def span_near_topk(
         "qcounts array<struct<term: string, cnt: int>>, length int, "
         "qidf array<struct<term: string, idf: double>>",
     )
-    docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    docs = spread_small_input(  # input-skew guard, no-op when split
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks"))
     )
     toks, length = F.col("_toks"), F.col("length")
     hit = (
