@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.small_df import small_df
 from ..functions.varint import delta_varint_decode, varint_decode
@@ -318,7 +319,28 @@ def score_queries(
     # set of terms runs zero driver jobs before the scoring job itself.
     cache = index.term_cache
     missing = [t for t in terms if t not in cache]
-    if missing:
+    postings = index.postings
+    if (
+        missing
+        and not has_buckets
+        and postings.storageLevel == StorageLevel.NONE
+    ):
+        # cold serve of an in-session (never persisted) index: the
+        # dictionary probe would recompute the ENTIRE build plan, and
+        # the scoring job would recompute it AGAIN.  One pass instead:
+        # materialize just the query terms' postings rows (the same
+        # rows the scoring exchange moves anyway, so the footprint is
+        # bounded by the batch's candidate volume), read df from them
+        # with a tiny aggregation, and score from the materialized
+        # slice — the build runs once, not twice.
+        postings = postings.filter(F.col("term").isin(terms)).localCheckpoint(
+            eager=True
+        )
+        for r in postings.groupBy("term").agg(F.sum("df_part").alias("df")).collect():
+            cache[r["term"]] = (int(r["df"]), -1)
+        for t in missing:
+            cache.setdefault(t, (0, -1))  # not in dictionary: no postings
+    elif missing:
         sel = [F.col("term"), F.col("df")]
         if has_buckets:
             # the bucket hash rides the same collect (pmod(xxhash64) is
@@ -336,7 +358,6 @@ def score_queries(
         [(qid, t, idf[t]) for qid, ts in queries for t in set(ts) if t in idf],
         "query_id long, term string, idf double",
     )
-    postings = index.postings
     if has_buckets:
         # persisted index: prune whole bucket=N directories before the
         # scan (partition pruning) — only the query terms' buckets load

@@ -390,37 +390,42 @@ def minhash_lsh_dedup(
         .persist()  # reused by cand_ids, the semi-join, and the verify join
     )
     # verify candidates with exact Jaccard over shingle-hash sets
-    # (already distinct per doc); the exploded table feeds two joins +
-    # the size agg → persist
-    sh = enc.select("id", F.explode(F.col("shs")).alias("shingle")).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # verify only candidate docs: semi-join slashes the shingle table
-    # before the pairwise common-count join (candidates ≪ corpus)
+    # (already distinct per doc) — |A ∩ B| via a row-local
+    # ``array_intersect`` on the candidate PAIRS, not an exploded
+    # per-shingle join: the old shape (explode → semi-join →
+    # shuffle-join by (id, shingle) → groupBy → two size joins) moved
+    # every candidate doc's shingles through three extra exchanges;
+    # attaching the two shingle arrays to each pair (two uniform
+    # id-keyed joins, candidate-bounded — AQE broadcasts them when
+    # small) computes the same count with zero per-shingle shuffle.
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    sh_c = sh.join(F.broadcast(cand_ids), "id", "left_semi")
-    common = (
-        cand.join(sh_c.withColumnsRenamed({"id": "id_a"}), "id_a")
-        .join(sh_c.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    enc_c = enc.join(F.broadcast(cand_ids), "id", "left_semi").select("id", "shs")
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
     result = (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        cand.join(
+            enc_c.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
+            "id_a",
+        )
+        .join(
+            enc_c.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+            F.round(
+                common / (F.size("shs_a") + F.size("shs_b") - common), 6
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
     # materialize the (small: dup pairs only) result, then release the
-    # four intermediates — a long-lived session serving many dedup
-    # calls must not accumulate executor cache (ADVICE r1 #4)
+    # intermediates — a long-lived session serving many dedup calls
+    # must not accumulate executor cache (ADVICE r1 #4)
     result = result.localCheckpoint(eager=True)
-    for cached in (enc, cand, sh):
+    for cached in (enc, cand):
         cached.unpersist(blocking=False)
     return result
 
