@@ -350,30 +350,73 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
 
     pb = index.postings.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     todo = [b for b in range(n_buckets) if str(b) not in done]
+    dict_plan = index.dictionary
+    stats_plan = index.doc_stats
     if todo:
-        # one dynamic-partition write for every missing bucket (completed
-        # buckets stay untouched), then one agg for the per-bucket
-        # lineage metrics — 2 jobs total instead of 2 per bucket. The
-        # build is persisted so write + metrics share the computation.
+        # materialize the (filtered) build ONCE, then run the four
+        # outputs — postings write, bucket metrics, dictionary write,
+        # doc_stats write — CONCURRENTLY off the cache.  Before round
+        # 7 these ran sequentially AND the dictionary/doc_stats plans
+        # hung off the unpersisted index, so their writes re-ran the
+        # entire build (profiled: the dictionary write was a second
+        # full build pass).
+        from concurrent.futures import ThreadPoolExecutor
+
         part = pb.filter(F.col("bucket").isin(todo)).persist()
         try:
             spark = part.sparkSession
+            part.count()  # pin the cache before the consumers fan out
+            if len(todo) == n_buckets:
+                # fresh build: the dictionary aggregate can read the
+                # pinned cache instead of re-running the build.  The
+                # explicit width keeps the final agg + write parallel
+                # (AQE's byte-based coalesce folds the small-bytes
+                # dictionary to ONE task — a serial agg + serial
+                # parquet encode of the whole vocabulary).
+                dict_plan = (
+                    part.repartition(n_shuffle_partitions(spark), "term")
+                    .groupBy("term")
+                    .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"))
+                )
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
-                # REBALANCE by bucket before the partitioned write: the
-                # encode output holds every bucket in every partition, so
-                # a direct write fans out tasks x buckets tiny files
-                # (measured 256 files / 2.0 s vs 8 files / 0.8 s at bench
-                # scale); the AQE-sized exchange also yields
-                # advisory-sized files at cluster scale (guide: coalesce
-                # on write).
-                part.hint("rebalance", "bucket").write.mode("overwrite").partitionBy(
-                    "bucket"
-                ).parquet(os.path.join(path, "postings"))
+                with ThreadPoolExecutor(max_workers=4) as ex:
+                    # REBALANCE by bucket before the partitioned write:
+                    # the encode output holds every bucket in every
+                    # partition, so a direct write fans out tasks x
+                    # buckets tiny files (measured 256 files / 2.0 s vs
+                    # 8 files / 0.8 s at bench scale); the AQE-sized
+                    # exchange also yields advisory-sized files at
+                    # cluster scale (guide: coalesce on write).
+                    f_pw = ex.submit(
+                        lambda: part.hint("rebalance", "bucket")
+                        .write.mode("overwrite")
+                        .partitionBy("bucket")
+                        .parquet(os.path.join(path, "postings"))
+                    )
+                    f_m = ex.submit(_bucket_metrics, part)
+                    f_dw = ex.submit(
+                        lambda: dict_plan.write.mode("overwrite").parquet(
+                            os.path.join(path, "dictionary")
+                        )
+                    )
+                    f_sw = (
+                        ex.submit(
+                            lambda: stats_plan.hint("rebalance")
+                            .write.mode("overwrite")
+                            .parquet(os.path.join(path, "doc_stats"))
+                        )
+                        if stats_plan is not None
+                        else None
+                    )
+                    metrics = f_m.result()
+                    f_pw.result()
+                    f_dw.result()
+                    if f_sw is not None:
+                        f_sw.result()
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            metrics = _bucket_metrics(part)
         finally:
             part.unpersist()
         found = {m["bucket"] for m in metrics}
@@ -384,10 +427,12 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
                 done[str(b)] = dict(_EMPTY_BUCKET)
         with open(manifest_path, "w") as f:
             json.dump({"buckets": done, "n_buckets": n_buckets}, f)
-
-    index.dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
-    if index.doc_stats is not None:
-        index.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+    else:
+        dict_plan.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+        if stats_plan is not None:
+            stats_plan.hint("rebalance").write.mode("overwrite").parquet(
+                os.path.join(path, "doc_stats")
+            )
     meta = {
         "n_docs": index.n_docs,
         "avgdl": index.avgdl,
@@ -976,8 +1021,16 @@ def append_to_index(
         F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf")
     )
     old_dict = spark.read.parquet(os.path.join(path, "dictionary"))
+    # explicit width before the merge agg: AQE's byte-based coalesce
+    # folds the small-bytes dictionary exchange to ONE task — a serial
+    # final agg, a serial checkpoint partition, and then a serial
+    # single-task parquet encode of the whole vocabulary on the write
+    # (profiled: 1.8 s agg + 7.3 s write on a throttled box).  The
+    # groupBy reuses the explicit exchange, so the Exchange count is
+    # unchanged.
     new_dict_plan = (
         old_dict.unionByName(delta_dict)
+        .repartition(n_shuffle_partitions(spark), "term")
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
@@ -1013,8 +1066,19 @@ def append_to_index(
         with ThreadPoolExecutor(max_workers=5) as ex:
             f_merged = ex.submit(lambda: merged_plan.localCheckpoint(eager=True))
             f_dict = ex.submit(lambda: new_dict_plan.localCheckpoint(eager=True))
+            # rebalance the (doc_id, dl) delta stats before the
+            # checkpoint: the plan inherits the delta input's partition
+            # count (128 cached slices at bench scale), and the append
+            # write below would otherwise fan out one tiny parquet file
+            # per slice (profiled: a 128-file / 7 s write for a
+            # 5k-row delta); the AQE-sized exchange writes
+            # advisory-sized files at any scale (guide §6).
             f_stats = (
-                ex.submit(lambda: delta.doc_stats.localCheckpoint(eager=True))
+                ex.submit(
+                    lambda: delta.doc_stats.hint("rebalance").localCheckpoint(
+                        eager=True
+                    )
+                )
                 if delta.doc_stats is not None
                 else None
             )
