@@ -47,8 +47,8 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .bm25 import bool_should_topk, score_queries
-from .phrase import phrase_match
+from .bm25 import score_queries
+from .phrase import _candidates, _term_doc_pairs, phrase_match
 from .postings import InvertedIndex
 
 _RESERVED = set('():^~*?[]{}\\/')
@@ -138,11 +138,13 @@ def query_string_topk(
         return df.select("doc_id")
 
     hits = scored
-    # required coverage: ALL must terms ...
+    # required coverage: ALL must terms — an id-SET, so it reads the
+    # postings intersection directly (the same lowering phrase
+    # candidates use) instead of running a full BM25 scoring pass
+    # whose scores the semi-join would throw away (one
+    # repartition+applyInPandas stage per set drops out; round 7)
     if must_terms:
-        req = bool_should_topk(
-            index, [(0, must_terms, len(must_terms))], index.n_docs, ranked=False
-        )
+        req = _candidates(index, [(0, must_terms)])
         hits = hits.join(ids_of(req), "doc_id", "left_semi")
     # ... and every must phrase
     for p in must_phrases:
@@ -155,17 +157,20 @@ def query_string_topk(
     if not must_terms and not must_phrases and should_phrases:
         any_should = None
         if should_terms:
-            any_should = ids_of(
-                score_queries(index, [(0, should_terms)], index.n_docs, ranked=False)
-            )
+            # id-set only: docs holding >= 1 should term, straight from
+            # the postings (tombstoned ids may ride along — `hits` is
+            # already live-only, so the semi-join result is identical)
+            any_should = _term_doc_pairs(index, should_terms).select("doc_id")
         for p in should_phrases:
             pm = ids_of(phrase_match(index, corpus, [(0, p)]))
             any_should = pm if any_should is None else any_should.unionByName(pm)
         hits = hits.join(any_should.distinct(), "doc_id", "left_semi")
-    # exclusions
+    # exclusions — id-set only, same postings-expand lowering (a
+    # tombstoned id in the exclusion set anti-joins nothing: `hits`
+    # holds live docs)
     if not_terms:
         hits = hits.join(
-            ids_of(score_queries(index, [(0, not_terms)], index.n_docs, ranked=False)),
+            _term_doc_pairs(index, not_terms).select("doc_id"),
             "doc_id",
             "left_anti",
         )

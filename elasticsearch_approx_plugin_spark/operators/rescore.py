@@ -140,6 +140,11 @@ def rescore_window(
         raise ValueError("rescore term lists must be non-empty")
 
     base = base.select("query_id", "doc_id", F.col("score").alias("_base"))
+    # materialize the window ONCE (bounded: q × window rows).  The id
+    # collect below and the rescore join both consume `base`; without
+    # the checkpoint the final join re-ran the entire base scoring
+    # pass a second time (round 7, profiled).
+    base = base.localCheckpoint(eager=True)
     # bounded window collect (≤ q × window ids) → IN pushdown into the
     # corpus scan, exactly the highlight_topk discipline
     win_ids = sorted({r["doc_id"] for r in base.select("doc_id").distinct().collect()})
