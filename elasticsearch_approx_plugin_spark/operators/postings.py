@@ -1021,16 +1021,13 @@ def append_to_index(
         F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf")
     )
     old_dict = spark.read.parquet(os.path.join(path, "dictionary"))
-    # explicit width before the merge agg: AQE's byte-based coalesce
-    # folds the small-bytes dictionary exchange to ONE task — a serial
-    # final agg, a serial checkpoint partition, and then a serial
-    # single-task parquet encode of the whole vocabulary on the write
-    # (profiled: 1.8 s agg + 7.3 s write on a throttled box).  The
-    # groupBy reuses the explicit exchange, so the Exchange count is
-    # unchanged.
+    # NOTE (round 7): an explicit repartition(width, term) before this
+    # agg (to parallelize the AQE-coalesced final agg + write) was
+    # A/B-measured SLOWER on a healthy box — the extra exchange and
+    # multi-file write cost more than the small serial agg they
+    # replace; the serial cost only looked large under CPU throttle.
     new_dict_plan = (
         old_dict.unionByName(delta_dict)
-        .repartition(n_shuffle_partitions(spark), "term")
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
@@ -1066,19 +1063,13 @@ def append_to_index(
         with ThreadPoolExecutor(max_workers=5) as ex:
             f_merged = ex.submit(lambda: merged_plan.localCheckpoint(eager=True))
             f_dict = ex.submit(lambda: new_dict_plan.localCheckpoint(eager=True))
-            # rebalance the (doc_id, dl) delta stats before the
-            # checkpoint: the plan inherits the delta input's partition
-            # count (128 cached slices at bench scale), and the append
-            # write below would otherwise fan out one tiny parquet file
-            # per slice (profiled: a 128-file / 7 s write for a
-            # 5k-row delta); the AQE-sized exchange writes
-            # advisory-sized files at any scale (guide §6).
+            # NOTE (round 7): a REBALANCE before this checkpoint (to
+            # collapse the per-slice tiny-file fan-out of the delta
+            # stats write) was A/B-measured SLOWER on a healthy box —
+            # the extra AQE shuffle in the critical checkpoint phase
+            # outweighs the many-small-files cost at delta scale.
             f_stats = (
-                ex.submit(
-                    lambda: delta.doc_stats.hint("rebalance").localCheckpoint(
-                        eager=True
-                    )
-                )
+                ex.submit(lambda: delta.doc_stats.localCheckpoint(eager=True))
                 if delta.doc_stats is not None
                 else None
             )
