@@ -99,12 +99,26 @@ def _make_scorer(k1: float, b: float, avgdl: float, k: int, tomb=None, msm=None)
                 doc_ids,
                 (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)),
             )
+        # ONE stable sort replaces the per-query pandas groupby + sort:
+        # with q queries x r ranges the old loop ran q pandas sorts per
+        # range-group (profiled: 3.5 s of scorer CPU per full pass of
+        # which only 0.77 s was varint decode).  Row order per query is
+        # IDENTICAL (query_id asc, term asc — one row per (query, term)
+        # in a range-group), so the float accumulation order and the
+        # scores are bit-for-bit unchanged.
+        spdf = pdf.sort_values(["query_id", "term"], kind="stable")
+        qarr = spdf["query_id"].to_numpy()
+        tarr = spdf["term"].to_numpy()
+        iarr = spdf["idf"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, qarr[1:] != qarr[:-1]])
         out_q, out_id, out_s = [], [], []
-        for qid, qpdf in pdf.groupby("query_id", sort=True):
-            qpdf = qpdf.sort_values("term", kind="stable")
-            ids_parts = [decoded[t][0] for t in qpdf["term"]]
+        for bi, start in enumerate(bounds):
+            end = bounds[bi + 1] if bi + 1 < bounds.size else qarr.size
+            qid = int(qarr[start])
+            ids_parts = [decoded[t][0] for t in tarr[start:end]]
             contrib_parts = [
-                idf * decoded[t][1] for t, idf in zip(qpdf["term"], qpdf["idf"])
+                idf * decoded[t][1]
+                for t, idf in zip(tarr[start:end], iarr[start:end])
             ]
             all_ids = np.concatenate(ids_parts)
             uniq, inv = np.unique(all_ids, return_inverse=True)
@@ -154,7 +168,20 @@ def _make_wand_scorer(
             .sort_index()
         )
         order = sorted(ubs.index, key=lambda r: (-ubs[r], r))
-        by_range = dict(tuple(pdf.groupby("range_id", sort=False)))
+        # one stable sort + numpy slices instead of a per-range pandas
+        # split + per-range sort (same pandas-overhead fix as the
+        # exhaustive scorer; per-range row order — term asc — and
+        # therefore float accumulation order is unchanged)
+        spdf = pdf.sort_values(["range_id", "term"], kind="stable")
+        rarr = spdf["range_id"].to_numpy()
+        cols = tuple(
+            spdf[c].to_numpy() for c in ("term", "idf", "doc_ids", "tfs", "dls")
+        )
+        rstarts = np.flatnonzero(np.r_[True, rarr[1:] != rarr[:-1]])
+        rslice = {}
+        for si, s in enumerate(rstarts):
+            e = rstarts[si + 1] if si + 1 < rstarts.size else rarr.size
+            rslice[int(rarr[s])] = (int(s), int(e))
         best_ids = np.empty(0, dtype=np.int64)
         best_scores = np.empty(0, dtype=np.float64)
         tau = -np.inf
@@ -163,11 +190,11 @@ def _make_wand_scorer(
             if best_ids.size >= k and ubs[rid] < tau - slack:
                 break  # bounds are sorted — nothing below can win
             scored += 1
-            qpdf = by_range[rid].sort_values("term", kind="stable")
+            s, e = rslice[int(rid)]
             dead = tomb.value.get(int(rid)) if tomb else None
             ids_parts, contrib_parts = [], []
             for term, idf, doc_b, tf_b, dl_b in zip(
-                qpdf["term"], qpdf["idf"], qpdf["doc_ids"], qpdf["tfs"], qpdf["dls"]
+                cols[0][s:e], cols[1][s:e], cols[2][s:e], cols[3][s:e], cols[4][s:e]
             ):
                 doc_ids = delta_varint_decode(doc_b)
                 tfs = varint_decode(tf_b).astype(np.float64)
