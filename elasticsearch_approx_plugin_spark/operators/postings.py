@@ -54,6 +54,14 @@ POSTINGS_SCHEMA = (
     "term string, range_id long, df_part long, cf_part long, "
     "max_tfnorm double, doc_ids binary, tfs binary, dls binary"
 )
+# on-disk schemas (asserted by tests against what write_index/delete
+# actually write): passing them to spark.read skips the per-read
+# parquet schema-inference job — the append/serving paths re-open
+# these directories constantly and each inference was a driver job
+POSTINGS_FILE_SCHEMA = POSTINGS_SCHEMA + ", bucket int"
+DICTIONARY_FILE_SCHEMA = "term string, df long, cf long"
+DOC_STATS_FILE_SCHEMA = "doc_id long, dl int"
+TOMBSTONES_FILE_SCHEMA = "doc_id long"
 
 
 @dataclass
@@ -450,14 +458,14 @@ def write_index(index: InvertedIndex, path: str, n_buckets: int = 16) -> dict:
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    postings = spark.read.parquet(os.path.join(path, "postings"))
-    dictionary = spark.read.parquet(os.path.join(path, "dictionary"))
+    postings = spark.read.schema(POSTINGS_FILE_SCHEMA).parquet(os.path.join(path, "postings"))
+    dictionary = spark.read.schema(DICTIONARY_FILE_SCHEMA).parquet(os.path.join(path, "dictionary"))
     doc_stats = None
     if os.path.isdir(os.path.join(path, "doc_stats")):
-        doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+        doc_stats = spark.read.schema(DOC_STATS_FILE_SCHEMA).parquet(os.path.join(path, "doc_stats"))
     tombstones = None
     if os.path.isdir(os.path.join(path, "tombstones")):
-        tombstones = spark.read.parquet(os.path.join(path, "tombstones")).distinct()
+        tombstones = spark.read.schema(TOMBSTONES_FILE_SCHEMA).parquet(os.path.join(path, "tombstones")).distinct()
     return InvertedIndex(
         postings,
         dictionary,
@@ -486,7 +494,7 @@ def delete_from_index(spark: SparkSession, path: str, doc_ids) -> int:
     else:
         ids_df = small_df(spark, [(int(i),) for i in doc_ids], "doc_id long")
     ids_df.write.mode("append").parquet(os.path.join(path, "tombstones"))
-    return spark.read.parquet(os.path.join(path, "tombstones")).distinct().count()
+    return spark.read.schema(TOMBSTONES_FILE_SCHEMA).parquet(os.path.join(path, "tombstones")).distinct().count()
 
 
 # deletes-since-last-compact above this ship to the rewrite tasks as a
@@ -640,11 +648,11 @@ def compact_index(spark: SparkSession, path: str) -> dict:
         raise ValueError("compact_index needs the doc_stats table (rebuild or append once)")
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    tomb_df = spark.read.parquet(tomb_dir).distinct()
+    tomb_df = spark.read.schema(TOMBSTONES_FILE_SCHEMA).parquet(tomb_dir).distinct()
     n_tomb = tomb_df.count()
     # partition-column inference reads bucket as int32; the Arrow pass
     # declares (and passes through) long
-    old = spark.read.parquet(os.path.join(path, "postings")).withColumn(
+    old = spark.read.schema(POSTINGS_FILE_SCHEMA).parquet(os.path.join(path, "postings")).withColumn(
         "bucket", F.col("bucket").cast("long")
     )
     tomb_b = None
@@ -680,9 +688,9 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     )
     new_dict.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
 
-    tomb_df = spark.read.parquet(tomb_dir).distinct()
+    tomb_df = spark.read.schema(TOMBSTONES_FILE_SCHEMA).parquet(tomb_dir).distinct()
     live_stats = (
-        spark.read.parquet(ds_dir)
+        spark.read.schema(DOC_STATS_FILE_SCHEMA).parquet(ds_dir)
         .join(tomb_df, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
@@ -896,7 +904,7 @@ def append_to_index(
 
     orig_ids = docs.select(F.col(id_col).alias("doc_id"))
     tomb_dir = os.path.join(path, "tombstones")
-    tomb = spark.read.parquet(tomb_dir).distinct() if os.path.isdir(tomb_dir) else None
+    tomb = spark.read.schema(TOMBSTONES_FILE_SCHEMA).parquet(tomb_dir).distinct() if os.path.isdir(tomb_dir) else None
     ds_dir = os.path.join(path, "doc_stats")
     has_stats = os.path.isdir(ds_dir)
     # ONE driver job computes the delta fingerprint, the tombstone-
@@ -931,7 +939,7 @@ def append_to_index(
             F.broadcast(tomb.withColumn("__t", F.lit(1))), "doc_id", "left"
         )
     if has_stats:
-        existing = spark.read.parquet(ds_dir).select("doc_id", F.lit(1).alias("__e"))
+        existing = spark.read.schema(DOC_STATS_FILE_SCHEMA).parquet(ds_dir).select("doc_id", F.lit(1).alias("__e"))
         flagged = flagged.join(existing, "doc_id", "left")
     flagged = flagged.persist()
     new_row = F.col("__e").isNull() if has_stats else F.lit(True)
@@ -1004,7 +1012,7 @@ def append_to_index(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     ).persist()
     touched = sorted(r["bucket"] for r in delta_pb.select("bucket").distinct().collect())
-    old = spark.read.parquet(os.path.join(path, "postings")).filter(
+    old = spark.read.schema(POSTINGS_FILE_SCHEMA).parquet(os.path.join(path, "postings")).filter(
         F.col("bucket").isin(touched)
     )
     merged_plan = (
@@ -1020,7 +1028,7 @@ def append_to_index(
     delta_dict = delta_pb.groupBy("term").agg(
         F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf")
     )
-    old_dict = spark.read.parquet(os.path.join(path, "dictionary"))
+    old_dict = spark.read.schema(DICTIONARY_FILE_SCHEMA).parquet(os.path.join(path, "dictionary"))
     # NOTE (round 7): an explicit repartition(width, term) before this
     # agg (to parallelize the AQE-coalesced final agg + write) was
     # A/B-measured SLOWER on a healthy box — the extra exchange and
@@ -1063,13 +1071,19 @@ def append_to_index(
         with ThreadPoolExecutor(max_workers=5) as ex:
             f_merged = ex.submit(lambda: merged_plan.localCheckpoint(eager=True))
             f_dict = ex.submit(lambda: new_dict_plan.localCheckpoint(eager=True))
-            # NOTE (round 7): a REBALANCE before this checkpoint (to
-            # collapse the per-slice tiny-file fan-out of the delta
-            # stats write) was A/B-measured SLOWER on a healthy box —
-            # the extra AQE shuffle in the critical checkpoint phase
-            # outweighs the many-small-files cost at delta scale.
+            # coalesce (NARROW — no shuffle, unlike the REBALANCE that
+            # was A/B-measured slower here) folds the delta-input's
+            # partition fan-out before the checkpoint, so the append
+            # write below emits width files instead of one tiny parquet
+            # file per input slice (measured: 128-file 0.6 s write for
+            # a 5k-row delta); width is the session conf, so file count
+            # stays cluster-sized at scale.
             f_stats = (
-                ex.submit(lambda: delta.doc_stats.localCheckpoint(eager=True))
+                ex.submit(
+                    lambda: delta.doc_stats.coalesce(
+                        n_shuffle_partitions(spark)
+                    ).localCheckpoint(eager=True)
+                )
                 if delta.doc_stats is not None
                 else None
             )
