@@ -188,7 +188,10 @@ def histogram_facet(
 
     ``key = floor(key_field / interval) * interval`` cast to long —
     floor, so negative keys bucket LOW (the same pre-1970 posture as
-    the engine's date buckets).  One groupBy on the bucket key.
+    the engine's date buckets; an intentional divergence from ES
+    0.90's ``(long)(value/interval)*interval``, which truncates toward
+    zero and lands negative values one bucket HIGH — ADVICE r6).
+    One groupBy on the bucket key.
     """
     if interval <= 0:
         raise ValueError("histogram interval must be positive")

@@ -90,9 +90,9 @@ def percolate(
 
     ``registered``: the output of :func:`register_queries` (or any
     table with its schema — e.g. one PERSISTED once and read back,
-    the registered-queries-index posture).  ``broadcast_queries``
-    forces/forbids the broadcast; default lets Spark's threshold and
-    AQE decide.
+    the registered-queries-index posture).  ``broadcast_queries=True``
+    forces the broadcast; ``False``/``None`` defer to Spark's
+    threshold and AQE (no hint is emitted — ADVICE r6).
     """
     doc_terms = spread_small_input(  # input-skew guard, no-op when split
         docs.select(F.col(id_col).alias("doc_id"), F.col(tokens_col))

@@ -716,11 +716,19 @@ def search_topk(
             )
         ((rkind, rbody),) = inner.items()
         _, rspec = _field_body(rbody, rkind)
-        rtext = rspec["query"] if isinstance(rspec, dict) else rspec
-        if isinstance(rspec, dict) and set(rspec) - {"query"}:
-            raise ValueError(
-                f"rescore {rkind}: unsupported option(s) {sorted(set(rspec) - {'query'})}"
-            )
+        if isinstance(rspec, dict):
+            # validate BEFORE indexing: a dict body without "query" must
+            # raise the parser's ValueError, not a bare KeyError (ADVICE r6)
+            if set(rspec) - {"query"}:
+                raise ValueError(
+                    f"rescore {rkind}: unsupported option(s) "
+                    f"{sorted(set(rspec) - {'query'})}"
+                )
+            if "query" not in rspec:
+                raise ValueError(f"rescore {rkind}: missing required 'query'")
+            rtext = rspec["query"]
+        else:
+            rtext = rspec
         rterms = _analyze(str(rtext))
         if not rterms:
             raise ValueError("rescore query analyzed to zero terms")
