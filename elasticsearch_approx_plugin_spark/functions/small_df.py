@@ -42,6 +42,20 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def width_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin a bounded intermediate to the session shuffle width, hashed
+    by ``keys`` (REPARTITION_BY_NUM — AQE never coalesces an explicit
+    numPartitions repartition), so a CPU-dense row-local stage
+    downstream cannot fold onto the 1–2 byte-coalesced tasks AQE picks
+    for byte-small exchanges.  Use on candidate sets feeding
+    interpreted-HOF verify/score projections: their bytes are tiny
+    (ids) but their per-row CPU is not.  Keying on the downstream join
+    key lets a sort-merge join at scale reuse the exchange."""
+    from ..session import n_shuffle_partitions
+
+    return df.repartition(n_shuffle_partitions(df.sparkSession), *keys)
+
+
 def small_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     """``rows`` (bounded, driver-local) → DataFrame with one slice per
     64k rows instead of ``spark.default.parallelism`` slices."""

@@ -35,7 +35,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.small_df import small_df, spread_small_input
+from ..functions.small_df import small_df, spread_small_input, width_partitioned
 from .bm25 import _idf
 from .postings import InvertedIndex, _decode_doc_rows
 
@@ -158,6 +158,11 @@ def _matches_with_tokens(
     docs = spread_small_input(
         corpus.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks"))
     )
+    # the verify/score HOFs are CPU-dense per candidate row while the
+    # candidate bytes are tiny — without an explicit width AQE coalesces
+    # the intersection exchange to 1-2 tasks and the verify serializes
+    # (guide §2.5/§4; measured 3.2 s single-task stage at sf0.1)
+    cand = width_partitioned(cand, "doc_id")
     return (
         cand.join(docs, "doc_id")
         .join(F.broadcast(ph), "query_id")
@@ -272,6 +277,11 @@ def phrase_prefix_match(
             )
         ),
     ).otherwise(F.lit(0)).cast("long")
+    # the verify/score HOFs are CPU-dense per candidate row while the
+    # candidate bytes are tiny — without an explicit width AQE coalesces
+    # the intersection exchange to 1-2 tasks and the verify serializes
+    # (guide §2.5/§4; measured 3.2 s single-task stage at sf0.1)
+    cand = width_partitioned(cand, "doc_id")
     return (
         cand.join(docs, "doc_id")
         .join(F.broadcast(payload), "query_id")
@@ -346,6 +356,11 @@ def phrase_topk(
         F.aggregate(F.col("qidf"), F.lit(0.0), lambda acc, s: acc + _contrib(s)), 6
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # the verify/score HOFs are CPU-dense per candidate row while the
+    # candidate bytes are tiny — without an explicit width AQE coalesces
+    # the intersection exchange to 1-2 tasks and the verify serializes
+    # (guide §2.5/§4; measured 3.2 s single-task stage at sf0.1)
+    cand = width_partitioned(cand, "doc_id")
     return (
         cand.join(docs, "doc_id")
         .join(F.broadcast(payload), "query_id")

@@ -1003,6 +1003,17 @@ def append_to_index(
     new_docs = flagged.filter(new_row).select(
         F.col("doc_id").alias(id_col), F.col("__tokens").alias(tokens_col)
     )
+    # fold excess input fan-out before the delta build (narrow coalesce,
+    # no shuffle): a small delta arriving in default-parallelism slices
+    # (128 here) launches one mostly-empty task per slice in the tf map
+    # stage — measured 1.1 s of task-launch overhead per append at
+    # benchmark scale. n_new is already known from the fused probe, so
+    # the target is rows-derived: at production delta sizes
+    # ceil(n_new/2048) exceeds the input's own partition count and this
+    # is a no-op.
+    target = max(n_shuffle_partitions(spark), -(-n_new // 2048))
+    if flagged.rdd.getNumPartitions() > target:
+        new_docs = new_docs.coalesce(target)
     delta = build_index(
         new_docs, tokens_col=tokens_col, id_col=id_col,
         range_bits=meta["range_bits"], k1=meta["k1"], b=meta["b"],

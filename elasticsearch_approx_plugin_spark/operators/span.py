@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.small_df import small_df, spread_small_input
+from ..functions.small_df import small_df, spread_small_input, width_partitioned
 from .bm25 import _idf
 from .phrase import _candidates, _validated
 from .postings import InvertedIndex
@@ -131,6 +131,11 @@ def span_near_match(
         if in_order
         else _unordered_hit(toks, F.col("qcounts"), length)
     )
+    # the verify/score HOFs are CPU-dense per candidate row while the
+    # candidate bytes are tiny — without an explicit width AQE coalesces
+    # the intersection exchange to 1-2 tasks and the verify serializes
+    # (guide §2.5/§4; measured 3.2 s single-task stage at sf0.1)
+    cand = width_partitioned(cand, "doc_id")
     return (
         cand.join(docs, "doc_id")
         .join(F.broadcast(payload), "query_id")
@@ -163,6 +168,11 @@ def span_first_match(
     hit = F.array_position(
         F.slice(F.col("_toks"), 1, end), F.col("qterm")
     ) > 0
+    # the verify/score HOFs are CPU-dense per candidate row while the
+    # candidate bytes are tiny — without an explicit width AQE coalesces
+    # the intersection exchange to 1-2 tasks and the verify serializes
+    # (guide §2.5/§4; measured 3.2 s single-task stage at sf0.1)
+    cand = width_partitioned(cand, "doc_id")
     return (
         cand.join(docs, "doc_id")
         .join(F.broadcast(payload), "query_id")
@@ -234,6 +244,11 @@ def span_near_topk(
         F.aggregate(F.col("qidf"), F.lit(0.0), lambda acc, s: acc + _contrib(s)), 6
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # the verify/score HOFs are CPU-dense per candidate row while the
+    # candidate bytes are tiny — without an explicit width AQE coalesces
+    # the intersection exchange to 1-2 tasks and the verify serializes
+    # (guide §2.5/§4; measured 3.2 s single-task stage at sf0.1)
+    cand = width_partitioned(cand, "doc_id")
     return (
         cand.join(docs, "doc_id")
         .join(F.broadcast(payload), "query_id")
