@@ -53,6 +53,10 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     once is negligible and buys full-core parallelism."""
     from ..session import n_shuffle_partitions
 
+    if df.isStreaming:
+        # a streaming relation has no static partition count (df.rdd is
+        # illegal); micro-batch parallelism is the source's concern
+        return df
     n = n_shuffle_partitions(df.sparkSession)
     if df.rdd.getNumPartitions() < max(2, n // 2):
         return df.repartition(n)

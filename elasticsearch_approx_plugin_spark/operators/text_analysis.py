@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.small_df import spread_small_input
 from ..functions.tokenize import tokenize_ws
 
 # tiny per-language marker vocabularies (deterministic heuristic, not a
@@ -326,6 +327,12 @@ def token_chunk(
     # reference (~3 refs × n/stride windows per row), and CollapseProject
     # keeps the alias un-inlined because it is non-cheap and multiply
     # used.  Measured 3× on the chunking pass (0.96 s → 0.33 s, sf0.1).
+    # input-skew guard (no-op for inputs that already split): the
+    # tokenize + window-slice work is CPU-dense per row and must not
+    # ride a 1-task scan of a single small file (measured 0.39 s
+    # single-task stage at sf0.1); chunking is row-local, so the
+    # result is partitioning-invariant.
+    df = spread_small_input(df.select(id_col, F.col(text_col)))
     df = df.select(id_col, tokenize_ws(text_col).alias("_tc_toks"))
     toks = F.col("_tc_toks")
     n = F.size(toks)
