@@ -140,8 +140,22 @@ def test_batch2_hygiene_ops_zero_shuffle(spark, sf_dir):
     for df in (
         stratified_sample(docs.select("doc_id", "source"), {"src0": 1.0}),
         pii_redact(docs),
-        token_chunk(docs, max_tokens=16, stride=8),
     ):
         plan = _simple(df)
-        assert "Exchange" not in plan  # all three fuse into one scan pass
+        assert "Exchange" not in plan  # both fuse into one scan pass
         assert "InPandas" not in plan and "Python" not in plan
+    # token_chunk: on an input that already splits, the input-skew
+    # guard no-ops — the chunking adds ZERO exchanges of its own (the
+    # at-scale zero-shuffle shape; the one Exchange counted below is
+    # the test harness's own repartition(8) making the input "split")
+    wide = docs.repartition(8)
+    plan = _simple(token_chunk(wide, max_tokens=16, stride=8))
+    assert plan.count("Exchange") == _simple(wide).count("Exchange")
+    assert "InPandas" not in plan and "Python" not in plan
+    # ... and on a 1-file input the input-skew guard is allowed exactly
+    # ONE explicit round-robin spread (REPARTITION_BY_NUM) so the
+    # tokenize+slice CPU does not ride a single task
+    plan = _simple(token_chunk(docs, max_tokens=16, stride=8))
+    assert plan.count("Exchange") <= 1
+    assert "REPARTITION_BY_NUM" in plan or "Exchange" not in plan
+    assert "InPandas" not in plan and "Python" not in plan
