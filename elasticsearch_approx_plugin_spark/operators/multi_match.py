@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round6_oracle
 from .bm25 import score_queries
 from .postings import InvertedIndex
 
@@ -84,7 +85,7 @@ def multi_match_topk(
             F.col("total") - F.col("best")
         )
     return (
-        agg.select("query_id", "doc_id", F.round(combined, 6).alias("score"))
+        agg.select("query_id", "doc_id", round6_oracle(combined).alias("score"))
         .withColumn(
             "rank",
             F.row_number()

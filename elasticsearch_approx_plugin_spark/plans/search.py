@@ -79,6 +79,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round6_oracle
 from ..functions.small_df import small_df
 
 from ..operators.bm25 import bool_should_topk, score_queries
@@ -356,7 +357,7 @@ def _scored_hits(
             scored.select(
                 "query_id",
                 "doc_id",
-                F.round(F.col("score") * boost, 6).alias("score"),
+                round6_oracle(F.col("score") * boost).alias("score"),
             ),
             k,
         )
@@ -409,7 +410,7 @@ def _scored_hits(
             agg.select(
                 F.lit(0).cast("long").alias("query_id"),
                 F.col("doc_id"),
-                F.round(combined, 6).alias("score"),
+                round6_oracle(combined).alias("score"),
             ),
             k,
         )
@@ -433,10 +434,9 @@ def _scored_hits(
         demoted = pos.join(neg, "doc_id", "left").select(
             "query_id",
             "doc_id",
-            F.round(
+            round6_oracle(
                 F.col("score")
-                * F.when(F.col("_demote"), F.lit(nb)).otherwise(F.lit(1.0)),
-                6,
+                * F.when(F.col("_demote"), F.lit(nb)).otherwise(F.lit(1.0))
             ).alias("score"),
         )
         return _rank(demoted, k)
